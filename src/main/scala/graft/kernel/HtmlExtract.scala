@@ -1,0 +1,196 @@
+package graft.kernel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch HTML main-content extraction: tag tokenizer + block
+  * segmentation + text-density / link-ratio boilerplate scoring
+  * (Readability/Boilerpipe-style, per the north_star). No jsoup, no DOM
+  * library — a single linear scan, so it is cheap enough to run per-row
+  * inside the mapPartitions kernel at 10^12-document scale.
+  *
+  * The classifier is a simplified Kohlschütter et al. (WSDM 2010,
+  * "Boilerplate Detection using Shallow Text Features") decision rule:
+  * blocks are content iff their link density is low and either the block or
+  * one of its neighbours carries enough words. Headings (h1–h6) and media
+  * refs (img/figure src) are preserved structurally.
+  */
+object HtmlExtract {
+
+  sealed trait Block
+  final case class Heading(text: String)  extends Block
+  final case class Body(text: String)     extends Block
+  final case class MediaRef(ref: String)  extends Block
+
+  private val blockTags = Set(
+    "p", "div", "section", "article", "main", "header", "footer", "aside",
+    "nav", "ul", "ol", "li", "table", "tr", "td", "th", "blockquote", "pre",
+    "h1", "h2", "h3", "h4", "h5", "h6", "br", "hr", "figure", "figcaption",
+    "title", "body", "html")
+  private val skipContent = Set("script", "style", "noscript", "svg", "template")
+  private val boilerTags  = Set("nav", "header", "footer", "aside")
+
+  private final case class RawBlock(
+      tag: String, text: String, anchorChars: Int, inBoiler: Boolean)
+
+  /** Minimal entity decoding for the common five + numeric refs. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          val rep: String = ent match {
+            case "amp" => "&"; case "lt" => "<"; case "gt" => ">"
+            case "quot" => "\""; case "apos" => "'"; case "nbsp" => " "
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              try new String(Character.toChars(Integer.parseInt(e.drop(2), 16))) catch { case _: Exception => null }
+            case e if e.startsWith("#") =>
+              try new String(Character.toChars(e.drop(1).toInt)) catch { case _: Exception => null }
+            case _ => null
+          }
+          if (rep != null) { sb.append(rep); i = semi + 1 } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def wordCount(s: String): Int =
+    s.split("(?U)\\s+").count(_.nonEmpty)
+
+  /** Tokenize + segment into raw blocks with anchor-char accounting. */
+  private def segment(html: String): Vector[RawBlock] = {
+    val blocks = ArrayBuffer.empty[RawBlock]
+    val text = new java.lang.StringBuilder
+    var anchorChars = 0
+    var anchorDepth = 0
+    var boilerDepth = 0
+    var curTag = "body"
+    var skipUntil: String = null
+    var headingTag: String = null
+
+    def flush(): Unit = {
+      val t = TextClean.normalizeWhitespace(decodeEntities(text.toString))
+      if (t.nonEmpty) blocks += RawBlock(curTag, t, math.min(anchorChars, t.length), boilerDepth > 0)
+      text.setLength(0)
+      anchorChars = 0
+    }
+
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        // comment?
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val gt = html.indexOf('>', i + 1)
+          if (gt < 0) { i = n } // truncated tag: drop remainder
+          else {
+            val inner = html.substring(i + 1, gt)
+            val closing = inner.startsWith("/")
+            val body = if (closing) inner.substring(1) else inner
+            val name = body.takeWhile(ch => ch.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
+            if (skipUntil != null) {
+              if (closing && name == skipUntil) skipUntil = null
+            } else if (name.nonEmpty) {
+              if (!closing && skipContent.contains(name)) {
+                // self-closing script-ish tags don't open a skip region
+                if (!inner.endsWith("/")) skipUntil = name
+              } else if (name == "a") {
+                if (closing) anchorDepth = math.max(0, anchorDepth - 1) else anchorDepth += 1
+              } else if (name == "img") {
+                flush()
+                attr(inner, "src").foreach(src => blocks += RawBlock("img", src, 0, boilerDepth > 0))
+              } else if (blockTags.contains(name)) {
+                flush()
+                if (boilerTags.contains(name)) boilerDepth = math.max(0, boilerDepth + (if (closing) -1 else 1))
+                if (name.length == 2 && name.charAt(0) == 'h' && name.charAt(1).isDigit) {
+                  headingTag = if (closing) null else name
+                  curTag = if (closing) "body" else name
+                } else if (!closing) curTag = name
+                else curTag = "body"
+              }
+              // inline tags (b, i, span, em, …): ignored, text flows through
+            }
+            i = gt + 1
+          }
+        }
+      } else {
+        if (skipUntil == null) {
+          text.append(c)
+          if (anchorDepth > 0) anchorChars += 1
+        }
+        i += 1
+      }
+    }
+    flush()
+    // tag headings explicitly
+    blocks.toVector
+  }
+
+  private def isHeadingTag(t: String): Boolean =
+    t.length == 2 && t.charAt(0) == 'h' && t.charAt(1).isDigit
+
+  /** Main entry: HTML string → ordered content blocks. */
+  def extractBlocks(html: String): Vector[Block] = {
+    val raws = segment(html)
+    val words = raws.map(b => if (b.tag == "img") 0 else wordCount(b.text))
+    val out = Vector.newBuilder[Block]
+    for (i <- raws.indices) {
+      val b = raws(i)
+      if (b.tag == "img") {
+        out += MediaRef(b.text)
+      } else if (isHeadingTag(b.tag) || b.tag == "title") {
+        if (b.text.nonEmpty && !b.inBoiler) out += Heading(b.text)
+      } else {
+        val linkDensity = if (b.text.isEmpty) 0.0 else b.anchorChars.toDouble / b.text.length
+        val prevW = if (i > 0) words(i - 1) else 0
+        val nextW = if (i < raws.length - 1) words(i + 1) else 0
+        // simplified Kohlschütter rule: low link density AND local word mass
+        val content = !b.inBoiler && linkDensity < 0.333 &&
+          (words(i) >= 10 || (words(i) >= 4 && (prevW >= 10 || nextW >= 10)))
+        if (content) out += Body(b.text)
+      }
+    }
+    out.result()
+  }
+
+  /** Pull a (quoted or bare) attribute value out of raw tag innards. */
+  private def attr(tagInner: String, name: String): Option[String] = {
+    val lower = tagInner.toLowerCase(java.util.Locale.ROOT)
+    var from = 0
+    while (true) {
+      val at = lower.indexOf(name, from)
+      if (at < 0) return None
+      val after = at + name.length
+      val eq = {
+        var j = after
+        while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
+        if (j < tagInner.length && tagInner.charAt(j) == '=') j else -1
+      }
+      val boundaryOk = at == 0 || !lower.charAt(at - 1).isLetterOrDigit
+      if (eq >= 0 && boundaryOk) {
+        var j = eq + 1
+        while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
+        if (j >= tagInner.length) return None
+        val q = tagInner.charAt(j)
+        if (q == '"' || q == '\'') {
+          val end = tagInner.indexOf(q, j + 1)
+          return Some(if (end < 0) tagInner.substring(j + 1) else tagInner.substring(j + 1, end))
+        }
+        val end0 = tagInner.indexWhere(_.isWhitespace, j)
+        val end = if (end0 < 0) tagInner.length else end0
+        return Some(tagInner.substring(j, end).stripSuffix("/"))
+      }
+      from = at + 1
+    }
+    None
+  }
+}
