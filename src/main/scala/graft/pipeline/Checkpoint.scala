@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.model.Doc
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable, idempotent extraction runs — Iceberg MERGE-on-doc_id semantics
+  * over plain Parquet (the local jars carry no Iceberg runtime; SURVEY.md §4.2).
+  *
+  * Commit unit = "group" = `pmod(xxhash64(doc_id), numGroups)` — the stand-in
+  * for an Iceberg partition commit. For each group:
+  *
+  *   1. spans written with dynamic partition-overwrite into `out/spans/grp=g`
+  *      (job-level atomic; a killed mid-group job leaves nothing visible, a
+  *      re-run *overwrites* the group rather than appending → idempotent even
+  *      if the previous run died between data commit and lineage commit);
+  *   2. lineage rows appended to `out/lineage` (this append IS the group's
+  *      commit marker).
+  *
+  * On resume, groups present in the lineage table are skipped entirely — the
+  * observable behavior of `MERGE INTO spans ON doc_id`: reprocessing a doc
+  * never duplicates it, because extraction is deterministic and a group is
+  * rewritten wholesale.
+  *
+  * At cluster scale each group is itself a full distributed job over 1/G of
+  * the input, so checkpoint granularity trades straggler re-work (small G)
+  * against commit overhead (large G); G≈#(Iceberg partitions touched) in a
+  * real deployment.
+  */
+object Checkpoint {
+
+  def spansDir(outDir: String)   = s"$outDir/spans"
+  def lineageDir(outDir: String) = s"$outDir/lineage"
+
+  def groupOf(numGroups: Int) = pmod(xxhash64(col("doc_id")), lit(numGroups.toLong))
+
+  private def doneGroups(spark: SparkSession, outDir: String): Set[Long] = {
+    val path = new org.apache.hadoop.fs.Path(lineageDir(outDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else spark.read.parquet(lineageDir(outDir))
+      .select("grp").distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Run (or resume) an extraction. Returns the number of groups processed
+    * in THIS invocation. `maxGroups` limits work for kill-simulation tests.
+    */
+  def runResumable(
+      docs: Dataset[Doc],
+      outDir: String,
+      cfg: ExtractJob.Config = ExtractJob.Config(),
+      numGroups: Int = 8,
+      maxGroups: Int = Int.MaxValue): Int = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val done = doneGroups(spark, outDir)
+    val todo = (0L until numGroups.toLong).filterNot(done).take(maxGroups)
+    val withGrp = docs.toDF().withColumn("grp", groupOf(numGroups))
+
+    for (g <- todo) {
+      val slice = withGrp.filter($"grp" === g).select($"doc_id", $"spans").as[Doc]
+      val (spans, lineage) = ExtractJob.extractWithLineage(slice, cfg)
+      spans.toDF().withColumn("grp", lit(g))
+        .write.mode(SaveMode.Overwrite).partitionBy("grp").parquet(spansDir(outDir))
+      lineage.toDF().withColumn("grp", lit(g))
+        .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+    }
+    todo.size
+  }
+
+  def readSpans(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(spansDir(outDir)).drop("grp")
+
+  def readLineage(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(lineageDir(outDir))
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.kernel.ExtractMode
+import graft.model.{Doc, Span}
+import graft.sources.DocSynth
+import java.nio.file.Files
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def collectSorted(ds: org.apache.spark.sql.Dataset[Doc]): Seq[Doc] =
+    ds.collect().sortBy(_.doc_id).toSeq
+
+  test("extraction is deterministic across partitionings (2 vs 8)") {
+    val docs = DocSynth.docs(spark, sfDir)
+    val a = collectSorted(ExtractJob.extract(docs, ExtractJob.Config(numPartitions = 2)))
+    val b = collectSorted(ExtractJob.extract(docs, ExtractJob.Config(numPartitions = 8)))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("output span invariants: offsets sequential, media refs preserved, chunks <= 500") {
+    val docs = DocSynth.docs(spark, sfDir)
+    val out = ExtractJob.extract(docs).collect()
+    assert(out.length == 500) // sf0.001 documents row count
+    for (d <- out) {
+      assert(d.spans.map(_.offset) == d.spans.indices)
+      assert(d.spans.forall(s => s.kind == "chunk" || s.kind == "media"))
+      assert(d.spans.filter(_.kind == "chunk").forall(s => s.text.nonEmpty && s.text.codePointCount(0, s.text.length) <= 500))
+      assert(d.spans.filter(_.kind == "media").forall(_.media_ref.startsWith("media://")))
+    }
+  }
+
+  test("semantic mode: html boilerplate stripped, headings emitted, layout reordered") {
+    val html = Doc("h1", Seq(Span("html",
+      "<html><body><nav><a href='/'>home</a></nav><h1>Title Here</h1>" +
+        "<p>" + ("real content words here ok fine " * 10) + "</p>" +
+        "<footer><a href='/t'>terms</a></footer></body></html>", "", 0)))
+    val layout = Doc("p1", Seq(Span("pdf_layout",
+      "50\t10\tleft one\n50\t22\tleft two\n320\t10\tright one\n320\t22\tright two", "", 0)))
+    val out = ExtractJob.extract(spark.createDataset(Seq(html, layout)),
+      ExtractJob.Config(mode = ExtractMode.SemanticMode)).collect().sortBy(_.doc_id)
+    val hSpans = out.find(_.doc_id == "h1").get.spans
+    assert(hSpans.exists(s => s.kind == "heading" && s.text == "Title Here"))
+    assert(hSpans.filter(_.kind == "chunk").forall(s => !s.text.contains("home") && !s.text.contains("terms")))
+    val pSpans = out.find(_.doc_id == "p1").get.spans
+    assert(pSpans.map(_.text).mkString == "left one\nleft two\n\nright one\nright two")
+  }
+
+  test("lineage: docs_parsed sums to input count, zero failures, spans consistent") {
+    val docs = DocSynth.docs(spark, sfDir)
+    val (spans, lineage) = ExtractJob.extractWithLineage(docs)
+    val lin = lineage.collect()
+    assert(lin.map(_.docs_parsed).sum == 500)
+    assert(lin.map(_.parse_failures).sum == 0)
+    val totalSpans = spans.collect().map(_.spans.size.toLong).sum
+    assert(lin.map(_.spans_emitted).sum == totalSpans)
+  }
+
+  test("resume: kill after 3 groups -> re-run converges to single-shot output") {
+    val docs = DocSynth.docs(spark, sfDir)
+    val dirA = Files.createTempDirectory("graft-resume-a").toString
+    val dirB = Files.createTempDirectory("graft-resume-b").toString
+
+    // simulated kill: only 3 of 8 groups commit
+    val first = Checkpoint.runResumable(docs, dirA, numGroups = 8, maxGroups = 3)
+    assert(first == 3)
+    // resume: finishes the remaining 5, skips the done 3
+    val second = Checkpoint.runResumable(docs, dirA, numGroups = 8)
+    assert(second == 5)
+    // re-run again: nothing to do (idempotent)
+    assert(Checkpoint.runResumable(docs, dirA, numGroups = 8) == 0)
+
+    // single-shot reference run
+    Checkpoint.runResumable(docs, dirB, numGroups = 8)
+
+    val a = Checkpoint.readSpans(spark, dirA).as[Doc].collect().sortBy(_.doc_id).toSeq
+    val b = Checkpoint.readSpans(spark, dirB).as[Doc].collect().sortBy(_.doc_id).toSeq
+    assert(a == b)
+    assert(a.map(_.doc_id).distinct.size == 500) // no duplicates: MERGE semantics
+    assert(Checkpoint.readLineage(spark, dirA).select("grp").distinct().count() == 8)
+  }
+}
