@@ -1,24 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.ExtractJob
+import graft.sources.DocSynth
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+  *
+  * Timings force full evaluation through a noop-format write — a bare
+  * count() would let Catalyst prune the expensive projections and measure
+  * nothing. Headline extra fields: extraction docs/sec for the flagship
+  * pipeline (BASELINE.json metric) alongside the per-query suite seconds.
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def timeSec(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Extraction bench: synthesize -> salted repartition -> kernel, forced. */
+  def extractionBench(spark: SparkSession, sfDir: String): (Long, Double) = {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val sec = timeSec(force(ExtractJob.extract(DocSynth.docs(spark, sfDir)).toDF()))
+    (nDocs, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+
+    // warm the JVM/codegen once on the smallest input
+    try force(SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001"))
+    catch { case _: Throwable => () }
+
+    val (nDocs, extractSec) = extractionBench(spark, sfDir)
+    val docsPerSec = nDocs / math.max(extractSec, 1e-9)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try timeSec(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction_sec":$extractSec%.3f,"extraction_docs_per_sec":$docsPerSec%.1f,"docs":$nDocs}""")
     spark.stop()
   }
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact hash,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Cross-engine determinism: every hash is `md5`-derived — the first 15 hex
+  * chars parsed as a 60-bit integer — which Spark (`conv(...,16,10)`) and
+  * DuckDB (`'0x'||... cast`) compute identically, so signatures/buckets match
+  * bit-for-bit between the plan and the oracle.
+  *
+  * Scale notes: exact dedup is one shuffle on the content hash; MinHash/LSH
+  * turns O(n²) similarity into a band-bucket equi-join (shuffle on band
+  * hash, candidates only); SimHash is per-row (map-only) + a narrow
+  * neighbor join; all signature math is pure Catalyst array lambdas inside
+  * whole-stage codegen.
+  */
+object DedupOps {
+
+  private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+
+  // word tokens, empties dropped (multi-space safe), both engines
+  private val toksSpark = "filter(split(text, ' '), t -> t <> '')"
+  private val toksDuck  = "list_filter(str_split(text, ' '), t -> t <> '')"
+
+  // 3-gram word shingles
+  private val shinglesSpark =
+    s"transform(sequence(1, size($toksSpark) - 2)," +
+      s" i -> concat_ws(' ', element_at($toksSpark, i), element_at($toksSpark, i + 1), element_at($toksSpark, i + 2)))"
+  private val shinglesDuck =
+    s"list_transform(generate_series(1, len($toksDuck) - 2)," +
+      s" i -> array_to_string(($toksDuck)[i:i+2], ' '))"
+
+  private val NumHashes = 8
+  private def mhSpark(j: Int) = s"array_min(transform(shingles, s -> ${h60Spark(s"concat(s, '#$j')")}))"
+  private def mhDuck(j: Int)  = s"list_min(list_transform(shingles, s -> ${h60Duck(s"s || '#$j'")}))"
+
+  private val sigDuckCte =
+    s"""sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")}
+       |  FROM (SELECT doc_id, $shinglesDuck AS shingles FROM documents WHERE len($toksDuck) >= 3))""".stripMargin
+
+  private def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .where(expr(s"size($toksSpark) >= 3"))
+      .select(col("doc_id"), expr(shinglesSpark).as("shingles"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j => expr(mhSpark(j)).as(s"mh$j")): _*)
+
+  val ops: Seq[Op] = Seq(
+
+    // Exact dedup: hash-groupBy on full content, min-id keeper.
+    Op("q_dedup_exact",
+      """SELECT md5(text) AS content_hash,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper,
+        |       CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .orderBy("content_hash")
+    },
+
+    // MinHash signatures: 8 permutations over 3-gram word shingles.
+    Op("q_minhash_signatures",
+      s"""SELECT doc_id, ${(0 until NumHashes).map(j => s"mh$j").mkString(", ")}
+         |FROM (WITH $sigDuckCte SELECT * FROM sig)
+         |WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      sigSpark(s, dir).where(col("doc_id") < 100).orderBy("doc_id")
+    },
+
+    // MinHash + LSH candidate pairs: 2 bands x 4 rows; docs sharing a band
+    // bucket become candidates via an equi-join on the band hash (the
+    // at-scale path: no pairwise cross product ever materializes).
+    Op("q_minhash_lsh_pairs",
+      s"""WITH $sigDuckCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS bh FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS bh FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sig = sigSpark(s, dir)
+      val b0 = sig.select(col("doc_id"), lit(0).as("band"),
+        md5(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh"))
+      val b1 = sig.select(col("doc_id"), lit(1).as("band"),
+        md5(concat_ws("|", col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh"))
+      val bands = b0.unionByName(b1)
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash: 32-bit signature from distinct-word hashes (per-row array
+    // math, map-only), plus hamming distance to the neighboring doc.
+    Op("q_simhash",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+         |      CASE WHEN 2 * len(list_filter(hashes, h -> ((h >> b) & 1) = 1)) >= len(hashes)
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id,
+         |          list_transform(list_distinct($toksDuck), t -> ${h60Duck("t")}) AS hashes
+         |        FROM documents WHERE len($toksDuck) > 0))
+         |SELECT a.doc_id, a.simhash,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_next
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .where(expr(s"size($toksSpark) > 0"))
+        .select(col("doc_id"),
+          expr(s"transform(array_distinct($toksSpark), t -> ${h60Spark("t")})").as("hashes"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
+            |  acc + if(2 * size(filter(hashes, h -> shiftright(h, b) % 2 = 1)) >= size(hashes),
+            |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+      val a = sh.as("a"); val b = sh.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"), col("a.simhash").as("simhash"),
+          expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hamming_next"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram Jaccard between neighboring docs (blocked pairs — the pairwise
+    // score kernel; LSH above supplies the candidate pairs at scale).
+    Op("q_ngram_jaccard",
+      s"""WITH t AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |           FROM documents WHERE len($toksDuck) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .where(expr(s"size($toksSpark) >= 3"))
+        .select(col("doc_id"), expr(s"array_distinct($shinglesSpark)").as("sh"))
+      val a = t.as("a"); val b = t.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(
+            size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+              size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 4).as("jaccard"))
+        .orderBy("doc_a")
+    },
+
+    // Embedding-cosine near-duplicate scoring between neighboring vectors.
+    Op("q_embed_neardup",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(
+        |    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |                   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') /
+        |    (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+        |     sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cosine
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_a""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.as("a"); val b = e.as("b")
+      val dot =
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+      def nrm(side: String) =
+        s"sqrt(aggregate(transform($side.embedding, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+      a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(expr(s"$dot / (${nrm("a")} * ${nrm("b")})"), 4).as("cosine"))
+        .orderBy("vec_a")
+    }
+  )
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.kernel.Paragraphs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Extraction / cleaning operator queries (SURVEY.md §2.2, §2.3).
+  *
+  * The documents table text is single-line, so the cleaning queries first
+  * synthesize line-structure deterministically (identical literal `replace`
+  * chain on both engines) and then apply the reference-semantics transforms.
+  * Everything except the sequential-fold paragraph ops is pure Catalyst
+  * (whole-stage codegen; no UDFs).
+  */
+object ExtractOps {
+
+  /** Deterministic line-structure synthesis, shared by Spark + oracle. */
+  private val structureSpark =
+    """replace(replace(replace(replace(text,
+      |  ' merge ', '-\nmerge '),
+      |  ' data ', ' \n\ndata '),
+      |  ' join ', ' \r\njoin '),
+      |  ' the ', ' \n\n\n\nthe ')""".stripMargin
+  private val structureDuck =
+    """replace(replace(replace(replace(text,
+      |  ' merge ', '-' || chr(10) || 'merge '),
+      |  ' data ', ' ' || chr(10) || chr(10) || 'data '),
+      |  ' join ', ' ' || chr(13) || chr(10) || 'join '),
+      |  ' the ', ' ' || repeat(chr(10), 4) || 'the ')""".stripMargin
+
+  /** T1–T5 `_clean_page_text` as a Catalyst regexp chain (Java regex supports
+    * the reference's lookarounds directly; extract_paragraphs.py:9-21).
+    */
+  private val cleanSpark =
+    s"""trim(BOTH ' \\n' FROM
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          replace($structureSpark, '\\r', '\\n'),
+       |          '(?U)(\\\\w)-\\\\n(\\\\w)', '$$1$$2'),
+       |        '\\\\n{3,}', '\\n\\n'),
+       |      '(?<!\\\\n)\\\\n(?!\\\\n)', ' '),
+       |    '[ \\t]+', ' '))""".stripMargin
+
+  /** Same transform for RE2 (no lookarounds): after the 3+-newline collapse,
+    * newline runs are exactly 1 or 2 long, so `\n\n`→sentinel, `\n`→space,
+    * sentinel→`\n\n` is equivalent to the lookaround rule.
+    */
+  private val cleanDuck =
+    s"""trim(
+       |  regexp_replace(
+       |    replace(replace(replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          replace($structureDuck, chr(13), chr(10)),
+       |          '(\\w)-\\n(\\w)', '\\1\\2', 'g'),
+       |        '\\n{3,}', chr(10) || chr(10), 'g'),
+       |      chr(10) || chr(10), chr(1)), chr(10), ' '), chr(1), chr(10) || chr(10)),
+       |    '[ \\t]+', ' ', 'g'),
+       |  ' ' || chr(10))""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+
+    // C1–C3: fixed 500/80 chunking (chunk_document.py; live path). Pure
+    // Catalyst: sequence+transform+posexplode keeps it in codegen; the
+    // filter and 2-column projection push into the parquet scan.
+    Op("q_chunk_fixed",
+      """SELECT d.doc_id, g.i AS chunk_index,
+        |       substring(d.text, CAST(g.i*420+1 AS INT), 500) AS chunk_text
+        |FROM documents d,
+        |     LATERAL (SELECT unnest(generate_series(0, CAST(ceil(length(d.text)/420.0) AS BIGINT)-1)) AS i) g
+        |WHERE length(d.text) > 0
+        |ORDER BY doc_id, chunk_index""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, cast(ceil(length(text)/420.0) as int) - 1)," +
+              " i -> substring(text, i*420+1, 500))")).as(Seq("chunk_index", "chunk_text")))
+        .select(col("doc_id"), col("chunk_index").cast("bigint").as("chunk_index"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_index")
+    },
+
+    // T1–T5 cleaning chain over synthesized line structure.
+    Op("q_clean_text",
+      s"SELECT doc_id, $cleanDuck AS cleaned FROM documents ORDER BY doc_id") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(cleanSpark).as("cleaned"))
+        .orderBy("doc_id")
+    },
+
+    // T12 truncate (app.py:44-48): 500-char cap + "..." (docs up to 558 chars
+    // exercise both branches).
+    Op("q_truncate",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) <= 500 THEN text
+        |       ELSE substring(text, 1, 500) || '...' END AS snippet
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(length(col("text")) <= 500, col("text"))
+            .otherwise(concat(substring(col("text"), 1, 500), lit("..."))).as("snippet"))
+        .orderBy("doc_id")
+    },
+
+    // T11 highlight (app.py:69-80): fold of case-insensitive wraps, query
+    // "spark merge join" (all tokens len>2), applied in token order.
+    Op("q_highlight",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '(spark)', '<mark>\1</mark>', 'gi'),
+        |      '(merge)', '<mark>\1</mark>', 'gi'),
+        |    '(join)', '<mark>\1</mark>', 'gi') AS highlighted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val h = Seq("spark", "merge", "join").foldLeft(col("text")) { (c, tok) =>
+        regexp_replace(c, s"(?i)($tok)", "<mark>$1</mark>")
+      }
+      Tables.documents(s, dir).select(col("doc_id"), h.as("highlighted")).orderBy("doc_id")
+    },
+
+    // T6+T10: metadata normalize (lower keys, trim values) + flatten to
+    // meta_-prefixed rows, dropping empty values (vector_store.py:45-59).
+    // The map is built from document columns; `note` is empty for doc_id%3=0
+    // rows and must be dropped by the flatten.
+    Op("q_meta_flatten",
+      """SELECT * FROM (
+        |  SELECT doc_id, 'meta_title' AS meta_key, trim(' ' || source || ' ') AS meta_value FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'meta_lang', lower(lang) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'meta_note', 'n' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 3 <> 0
+        |) ORDER BY doc_id, meta_key""".stripMargin) { (s, dir) =>
+      val meta = Tables.documents(s, dir).select(col("doc_id"),
+        map(
+          lit("Title"), concat(lit(" "), col("source"), lit(" ")),
+          lit("LANG"), col("lang"),
+          lit("Note"), when(col("doc_id") % 3 === 0, lit("")).otherwise(concat(lit("n"), col("doc_id").cast("string")))
+        ).as("m"))
+      val normalized = meta.select(col("doc_id"),
+        expr("transform_keys(transform_values(m, (k, v) -> trim(v)), (k, v) -> lower(k))").as("m"))
+      normalized
+        .select(col("doc_id"), explode(expr("map_filter(m, (k, v) -> v <> '')")).as(Seq("k", "v")))
+        .select(col("doc_id"), concat(lit("meta_"), col("k")).as("meta_key"), col("v").as("meta_value"))
+        .orderBy("doc_id", "meta_key")
+    },
+
+    // T7 normalize_date (normalizer.py:17-23): ISO on parse success, original
+    // on failure. Good input from o_orderdate; o_orderpriority as malformed.
+    Op("q_date_normalize",
+      """SELECT o_orderkey,
+        |  coalesce(strftime(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'),
+        |                    '%Y-%m-%dT%H:%M:%S'),
+        |           strftime(o_orderdate, '%Y-%m-%d')) AS norm_date,
+        |  coalesce(strftime(try_strptime(o_orderpriority, '%Y-%m-%d'), '%Y-%m-%dT%H:%M:%S'),
+        |           o_orderpriority) AS norm_bad
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      def norm(c: org.apache.spark.sql.Column) =
+        coalesce(date_format(try_to_timestamp(c, lit("yyyy-MM-dd")), "yyyy-MM-dd'T'HH:mm:ss"), c)
+      Tables.orders(s, dir).select(col("o_orderkey"),
+          norm(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("norm_date"),
+          norm(col("o_orderpriority")).as("norm_bad"))
+        .orderBy("o_orderkey")
+    },
+
+    // C7 extract_paragraphs (sequential fold — typed kernel, rows-only check;
+    // exact semantics guarded by the reference-generated goldens in
+    // KernelGoldenSpec instead of a SQL oracle).
+    Op.rowsOnly("q_paragraphs") { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id").cast("string").as("doc_id"), expr(structureSpark).as("structured"))
+        .as[(String, String)]
+        .flatMap { case (id, t) =>
+          Paragraphs.extractParagraphs(t).zipWithIndex.map { case (p, i) => (id, i, p) }
+        }
+        .toDF("doc_id", "paragraph_index", "paragraph")
+        .orderBy("doc_id", "paragraph_index")
+    },
+
+    // C8 paragraphize (merge-short fold — typed kernel, rows-only).
+    Op.rowsOnly("q_paragraphize") { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id").cast("string").as("doc_id"), expr(structureSpark).as("structured"))
+        .as[(String, String)]
+        .flatMap { case (id, t) =>
+          Paragraphs.paragraphize(t).zipWithIndex.map { case (p, i) => (id, i, p) }
+        }
+        .toDF("doc_id", "paragraph_index", "paragraph")
+        .orderBy("doc_id", "paragraph_index")
+    }
+  )
+}

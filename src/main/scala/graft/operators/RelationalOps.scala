@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators from the gap list (SURVEY.md §2.6) — joins, grouped
+  * aggregation, window functions, set ops, event-time windows — so a user of
+  * the reference gets a complete engine, and the bench has shuffle-bearing
+  * plans to measure.
+  *
+  * FP discipline: per-row arithmetic stays in double (bit-identical across
+  * engines); every multi-row sum is over DECIMAL so partial-aggregation
+  * order can't produce cross-engine diffs.
+  */
+object RelationalOps {
+
+  val ops: Seq[Op] = Seq(
+
+    // TPC-H Q1-shaped grouped aggregation over lineitem (partial agg +
+    // single shuffle on the 4-value group key).
+    Op("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Join pyramid: orders ⋈ customer ⋈ nation with the small dims broadcast
+    // (no shuffle on the fact side beyond the final top-k), then top-10
+    // customers by spend.
+    Op("q_join_topk",
+      """SELECT c.c_name, n.n_name,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY c.c_name, n.n_name
+        |ORDER BY revenue DESC, c_name LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_name"), col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("orders"))
+        .orderBy(desc("revenue"), asc("c_name")).limit(10)
+    },
+
+    // Event-time tumbling window aggregation (batch analog of the
+    // Structured Streaming path in graft.streaming).
+    Op("q_window_events",
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // Running per-user cumulative value — ordered window frame (the R8
+    // budget window generalized), deterministic tie-break on event_id.
+    Op("q_running_total",
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").as("running_value"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Set operation: users with high-value clicks but no high-value purchase.
+    Op("q_set_except",
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 190
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 190
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click" && col("value") > 190).select("user_id").distinct()
+        .except(ev.where(col("event_type") === "purchase" && col("value") > 190).select("user_id").distinct())
+        .orderBy("user_id")
+    }
+  )
+}

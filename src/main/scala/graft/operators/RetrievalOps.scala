@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval / ranking / top-k operators (SURVEY.md §2.4, R1–R8).
+  *
+  * Scoring is pure Catalyst (zip_with/aggregate over the embedding arrays —
+  * codegen-friendly, no UDF); top-k compiles to TakeOrderedAndProject, and
+  * the one-row query vector is broadcast. Float elements are cast to double
+  * *before* multiplication so the fold is bit-identical to the DuckDB oracle
+  * (same IEEE ops in the same array order).
+  */
+object RetrievalOps {
+
+  /** Query tokens used by the sparse/rerank stand-ins (all len>2, mirroring
+    * highlight()'s token filter).
+    */
+  private val qTokens = Seq("spark", "merge", "join", "fast")
+  private val qTokensSqlList = qTokens.map(t => s"'$t'").mkString(", ")
+
+  /** dot(embedding, qvec) in deterministic array order, all-double. */
+  private val dotExpr =
+    "aggregate(zip_with(embedding, qvec, (x, y) -> cast(x as double) * cast(y as double))," +
+      " cast(0.0 as double), (acc, v) -> acc + v)"
+  private val normExpr =
+    "sqrt(aggregate(transform(%s, x -> cast(x as double) * cast(x as double))," +
+      " cast(0.0 as double), (acc, v) -> acc + v))"
+
+  private val duckDot =
+    "list_aggregate(list_transform(list_zip(e.embedding, q.embedding)," +
+      " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+  private def duckNorm(c: String) =
+    s"sqrt(list_aggregate(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  private def withQvec(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+  }
+
+  /** Shared dense scoring plan: (vec_id, score_exact). */
+  private def denseScores(s: SparkSession, dir: String): DataFrame =
+    withQvec(s, dir).select(col("vec_id"), expr(dotExpr).as("score_exact"))
+
+  private def sparseScores(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isin(qTokens: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"))
+
+  val ops: Seq[Op] = Seq(
+
+    // R1 dense top-k: dot-product scoring + ORDER BY/LIMIT (vector_store.py:101-140's
+    // dataflow with the managed ANN re-expressed as a scoring stage).
+    Op("q_dense_topk",
+      s"""SELECT e.vec_id, round($duckDot, 4) AS score
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY $duckDot DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      denseScores(s, dir)
+        .orderBy(desc("score_exact"), asc("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("score_exact"), 4).as("score"))
+    },
+
+    // R2 sparse top-k: token-overlap TF scoring (sparse_store.py:91-103's
+    // dataflow) — explode + groupBy/count + top-k.
+    Op("q_sparse_topk",
+      s"""SELECT doc_id, count(*) AS score
+         |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+         |WHERE tok IN ($qTokensSqlList)
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      sparseScores(s, dir).orderBy(desc("score"), asc("doc_id")).limit(10)
+    },
+
+    // R3+R7 hybrid over-fetch + ordered union: dense fetched at 4*k, sparse
+    // at k (search_wrapper.py:26-28), concatenated dense-first with an
+    // explicit rank column (app.py:55,127 — plain UNION doesn't preserve
+    // cross-branch order, so rank is materialized).
+    Op("q_hybrid_search",
+      s"""SELECT 'dense' AS origin, rn AS rank, vec_id AS id, round(sc, 4) AS score FROM (
+         |  SELECT e.vec_id, $duckDot AS sc,
+         |         row_number() OVER (ORDER BY $duckDot DESC, e.vec_id) AS rn
+         |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q) WHERE rn <= 20
+         |UNION ALL
+         |SELECT 'sparse', 20 + rn, doc_id, CAST(score AS DOUBLE) FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM (
+         |    SELECT doc_id, count(*) AS score
+         |    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+         |    WHERE tok IN ($qTokensSqlList) GROUP BY doc_id)) WHERE rn <= 5
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val dense = denseScores(s, dir)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("score_exact"), asc("vec_id"))))
+        .where(col("rn") <= 20)
+        .select(lit("dense").as("origin"), col("rn").cast("bigint").as("rank"),
+          col("vec_id").as("id"), round(col("score_exact"), 4).as("score"))
+      val sparse = sparseScores(s, dir)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        .where(col("rn") <= 5)
+        .select(lit("sparse").as("origin"), (col("rn") + 20).cast("bigint").as("rank"),
+          col("doc_id").as("id"), col("score").cast("double").as("score"))
+      dense.unionByName(sparse).orderBy("rank")
+    },
+
+    // R5 rerank dataflow (cross_encoder.py:12-45): deterministic stand-in
+    // scorer = #query tokens present in the 256-char-truncated text
+    // (max_length=256 mirror), then score-sort-desc + take top_n=5.
+    Op("q_rerank",
+      s"""SELECT c.id, c.dense_score,
+         |  ${qTokens.map(t => s"(CASE WHEN contains(substring(d.text, 1, 256), '$t') THEN 1 ELSE 0 END)").mkString(" + ")} AS rerank_score
+         |FROM (
+         |  SELECT e.vec_id AS id, round($duckDot, 4) AS dense_score,
+         |         row_number() OVER (ORDER BY $duckDot DESC, e.vec_id) AS rn
+         |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q) c
+         |JOIN documents d ON d.doc_id = c.id
+         |WHERE c.rn <= 20
+         |ORDER BY rerank_score DESC, c.id LIMIT 5""".stripMargin) { (s, dir) =>
+      val cands = denseScores(s, dir)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("score_exact"), asc("vec_id"))))
+        .where(col("rn") <= 20)
+        .select(col("vec_id").as("id"), round(col("score_exact"), 4).as("dense_score"))
+      val scored = cands.join(Tables.documents(s, dir), cands("id") === col("doc_id"))
+        .withColumn("rerank_score",
+          qTokens.map(t => when(col("text").substr(1, 256).contains(t), 1).otherwise(0))
+            .reduce[Column](_ + _).cast("int"))
+      scored.orderBy(desc("rerank_score"), asc("id"))
+        .select(col("id"), col("dense_score"), col("rerank_score")).limit(5)
+    },
+
+    // R8 context assembly with greedy char budget (app.py:50-67): per-chunk
+    // 500-char truncate, "--- Chunk i ---" headers, running-sum window,
+    // keep the maximal prefix with cumulative length <= 4000 (the reference's
+    // break-at-first-overflow is exactly the monotone prefix filter).
+    Op("q_context_budget",
+      """SELECT chunk_rank, doc_id, section, cum_chars FROM (
+        |  SELECT chunk_rank, doc_id, section,
+        |         CAST(sum(length(section)) OVER (ORDER BY chunk_rank
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+        |  FROM (
+        |    SELECT chunk_rank, doc_id,
+        |      chr(10) || '--- Chunk ' || CAST(chunk_rank AS VARCHAR) || ' ---' || chr(10) ||
+        |      (CASE WHEN length(text) <= 500 THEN text ELSE substring(text, 1, 500) || '...' END) AS section
+        |    FROM (
+        |      SELECT doc_id, text,
+        |             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS chunk_rank
+        |      FROM documents) WHERE chunk_rank <= 20))
+        |WHERE cum_chars <= 4000 ORDER BY chunk_rank""".stripMargin) { (s, dir) =>
+      val ranked = Tables.documents(s, dir)
+        .withColumn("chunk_rank", row_number().over(Window.orderBy(desc("n_chars"), asc("doc_id"))))
+        .where(col("chunk_rank") <= 20)
+      val sections = ranked.select(col("chunk_rank").cast("bigint").as("chunk_rank"), col("doc_id"),
+        concat(lit("\n--- Chunk "), col("chunk_rank").cast("string"), lit(" ---\n"),
+          when(length(col("text")) <= 500, col("text"))
+            .otherwise(concat(substring(col("text"), 1, 500), lit("...")))).as("section"))
+      sections
+        .withColumn("cum_chars",
+          sum(length(col("section"))).over(
+            Window.orderBy("chunk_rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum_chars") <= 4000)
+        .orderBy("chunk_rank")
+    }
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * - q_ann_cosine_topk: brute-force cosine top-k — the correctness baseline;
+  *   compiles to a broadcast of the 1-row query vector + a codegen'd array
+  *   fold + TakeOrderedAndProject (no shuffle of the big side).
+  * - q_ann_ivf: the scale path — IVF with inner-product assignment. Vectors
+  *   are partitioned into cells by nearest centroid (centroids = first 8
+  *   vectors, broadcast); the query probes its top-2 cells and only those
+  *   candidates are scored. At 100 TB the assignment is a one-off bucketing
+  *   write and probing touches ~nprobe/ncells of the data.
+  */
+object SimilarityOps {
+
+  private val dotQ =
+    "aggregate(zip_with(embedding, qvec, (x, y) -> cast(x as double) * cast(y as double))," +
+      " cast(0.0 as double), (acc, v) -> acc + v)"
+  private def dotAB(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))," +
+      " cast(0.0 as double), (acc, v) -> acc + v)"
+  private def nrm(c: String) =
+    s"sqrt(aggregate(transform($c, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+
+  private def duckDotAB(a: String, b: String) =
+    s"list_aggregate(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+  private def duckNrm(c: String) =
+    s"sqrt(list_aggregate(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  val ops: Seq[Op] = Seq(
+
+    Op("q_ann_cosine_topk",
+      s"""SELECT e.vec_id,
+         |       round(${duckDotAB("e.embedding", "q.embedding")} /
+         |             (${duckNrm("e.embedding")} * ${duckNrm("q.embedding")}), 4) AS cosine
+         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY ${duckDotAB("e.embedding", "q.embedding")} /
+         |         (${duckNrm("e.embedding")} * ${duckNrm("q.embedding")}) DESC, e.vec_id
+         |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), expr(s"$dotQ / (${nrm("embedding")} * ${nrm("qvec")})").as("cos_exact"))
+        .orderBy(desc("cos_exact"), asc("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("cos_exact"), 4).as("cosine"))
+    },
+
+    Op("q_ann_ivf",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckDotAB("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${duckDotAB("c.cvec", "q.qvec")} DESC, c.cid) AS rn
+         |    FROM cent c, q) WHERE rn <= 2)
+         |SELECT e.vec_id, a.cid,
+         |       round(${duckDotAB("e.embedding", "q.qvec")}, 4) AS score
+         |FROM embeddings e
+         |JOIN assign a ON a.vec_id = e.vec_id
+         |JOIN probes p ON p.cid = a.cid, q
+         |ORDER BY ${duckDotAB("e.embedding", "q.qvec")} DESC, e.vec_id LIMIT 5""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("cdot", expr(dotAB("embedding", "cvec")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("cdot"), asc("cid"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+
+      val probes = cent.crossJoin(broadcast(q))
+        .withColumn("qdot", expr(dotAB("cvec", "qvec")))
+        .withColumn("rn", row_number().over(Window.orderBy(desc("qdot"), asc("cid"))))
+        .where(col("rn") <= 2)
+        .select(col("cid"))
+
+      e.join(assign, "vec_id")
+        .join(broadcast(probes), "cid")
+        .crossJoin(broadcast(q))
+        .withColumn("score_exact", expr(dotAB("embedding", "qvec")))
+        .orderBy(desc("score_exact"), asc("vec_id")).limit(5)
+        .select(col("vec_id"), col("cid"), round(col("score_exact"), 4).as("score"))
+    }
+  )
+}

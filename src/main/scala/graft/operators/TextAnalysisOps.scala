@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language-ID
+  * (marker n-gram heuristic), quality scoring, token counting (whitespace +
+  * BPE-ish regex), and document fingerprinting (shingle rolling-hash /
+  * winnowing-lite). All pure Catalyst; arithmetic is rational (no
+  * transcendentals) so both engines produce bit-identical doubles.
+  */
+object TextAnalysisOps {
+
+  private val toksSpark = "filter(split(text, ' '), t -> t <> '')"
+  private val toksDuck  = "list_filter(str_split(text, ' '), t -> t <> '')"
+
+  // marker lists per language (n-gram heuristic; deterministic tie-break
+  // en > fr > de via CASE order / greatest comparison order)
+  private val markers = Seq(
+    "en" -> Seq("the", "fast", "small"),
+    "fr" -> Seq("table", "merge", "part"),
+    "de" -> Seq("spark", "join", "stream"))
+
+  private def scoreSpark(ws: Seq[String]) =
+    s"size(filter($toksSpark, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+  private def scoreDuck(ws: Seq[String]) =
+    s"len(list_filter($toksDuck, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+
+  private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+
+  val ops: Seq[Op] = Seq(
+
+    Op("q_lang_id",
+      s"""SELECT doc_id,
+         |  ${markers.map { case (l, ws) => s"CAST(${scoreDuck(ws)} AS INT) AS s_$l" }.mkString(",\n  ")},
+         |  CASE WHEN ${scoreDuck(markers(0)._2)} >= ${scoreDuck(markers(1)._2)}
+         |        AND ${scoreDuck(markers(0)._2)} >= ${scoreDuck(markers(2)._2)} THEN 'en'
+         |       WHEN ${scoreDuck(markers(1)._2)} >= ${scoreDuck(markers(2)._2)} THEN 'fr'
+         |       ELSE 'de' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id") +:
+          markers.map { case (l, ws) => expr(scoreSpark(ws)).cast("int").as(s"s_$l") }: _*)
+      scored.withColumn("predicted",
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_fr") >= col("s_de"), "fr")
+            .otherwise("de"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length, word count, mean word length, stopword ratio,
+    // composite score. NO rounding: all per-row rational arithmetic with an
+    // identical expression tree on both engines is bit-identical IEEE-754,
+    // whereas round() *implementations* differ on decimal ties (Spark
+    // BigDecimal-exact HALF_UP vs DuckDB scaled-multiply), e.g. 0.82625.
+    Op("q_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS chars,
+         |  CAST(len($toksDuck) AS BIGINT) AS words,
+         |  CAST(length(text) AS DOUBLE) / CAST(len($toksDuck) AS DOUBLE) AS avg_word_len,
+         |  CAST(len(list_filter($toksDuck, t -> t IN ('the', 'a'))) AS DOUBLE) / CAST(len($toksDuck) AS DOUBLE) AS stop_ratio,
+         |  (CAST(least(len($toksDuck), 100) AS DOUBLE) / 100.0) * 0.7 +
+         |  (1.0 - CAST(len(list_filter($toksDuck, t -> t IN ('the', 'a'))) AS DOUBLE) / CAST(len($toksDuck) AS DOUBLE)) * 0.3 AS quality
+         |FROM documents WHERE len($toksDuck) > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = expr(s"size($toksSpark)").cast("double")
+      val stops = expr(s"size(filter($toksSpark, t -> t IN ('the', 'a')))").cast("double")
+      Tables.documents(s, dir)
+        .where(expr(s"size($toksSpark) > 0"))
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("chars"),
+          expr(s"size($toksSpark)").cast("bigint").as("words"),
+          (length(col("text")).cast("double") / words).as("avg_word_len"),
+          (stops / words).as("stop_ratio"),
+          ((least(expr(s"size($toksSpark)"), lit(100)).cast("double") / 100.0) * 0.7 +
+            (lit(1.0) - stops / words) * 0.3).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens (word pieces /
+    // digit runs / single punctuation — simplified GPT-2 pretokenizer shape,
+    // same result under Java regex and RE2).
+    Op("q_token_count",
+      s"""SELECT doc_id,
+         |  CAST(len($toksDuck) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr(s"size($toksSpark)").cast("bigint").as("ws_tokens"),
+          expr("cast(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint)").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: rolling 8-char shingles at stride 4, 60-bit
+    // hashes, fingerprint = min hash (winnowing-lite) + shingle count.
+    Op("q_fingerprint",
+      s"""SELECT doc_id,
+         |  CAST(list_min(list_transform(generate_series(0, CAST(floor((length(text) - 8) / 4.0) AS BIGINT),
+         |         1), i -> ${h60Duck("substring(text, CAST(i * 4 + 1 AS INT), 8)")})) AS BIGINT) AS fingerprint,
+         |  CAST(floor((length(text) - 8) / 4.0) + 1 AS BIGINT) AS n_shingles
+         |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          expr(s"array_min(transform(sequence(0, cast(floor((length(text) - 8) / 4.0) as int))," +
+            s" i -> ${h60Spark("substring(text, i * 4 + 1, 8)")}))").as("fingerprint"),
+          expr("cast(floor((length(text) - 8) / 4.0) + 1 as bigint)").as("n_shingles"))
+        .orderBy("doc_id")
+    }
+  )
+}
