@@ -25,10 +25,12 @@ object DedupOps {
   private val toksSpark = "filter(split(text, ' '), t -> t <> '')"
   private val toksDuck  = "list_filter(str_split(text, ' '), t -> t <> '')"
 
-  // 3-gram word shingles
-  private val shinglesSpark =
-    s"transform(sequence(1, size($toksSpark) - 2)," +
-      s" i -> concat_ws(' ', element_at($toksSpark, i), element_at($toksSpark, i + 1), element_at($toksSpark, i + 2)))"
+  // 3-gram word shingles — Spark side computed over a *staged* `toks`
+  // column: inlining the split() into the lambda would re-evaluate it per
+  // array element (O(L²) per doc; measured 13-23s vs <2s at sf0.1).
+  private val shinglesFromToks =
+    "transform(sequence(1, size(toks) - 2)," +
+      " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"
   private val shinglesDuck =
     s"list_transform(generate_series(1, len($toksDuck) - 2)," +
       s" i -> array_to_string(($toksDuck)[i:i+2], ' '))"
@@ -44,8 +46,9 @@ object DedupOps {
 
   private def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
-      .where(expr(s"size($toksSpark) >= 3"))
-      .select(col("doc_id"), expr(shinglesSpark).as("shingles"))
+      .select(col("doc_id"), expr(toksSpark).as("toks"))
+      .where(expr("size(toks) >= 3"))
+      .select(col("doc_id"), expr(shinglesFromToks).as("shingles"))
       .select(col("doc_id") +: (0 until NumHashes).map(j => expr(mhSpark(j)).as(s"mh$j")): _*)
 
   val ops: Seq[Op] = Seq(
@@ -112,9 +115,10 @@ object DedupOps {
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
       val sh = Tables.documents(s, dir)
-        .where(expr(s"size($toksSpark) > 0"))
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) > 0"))
         .select(col("doc_id"),
-          expr(s"transform(array_distinct($toksSpark), t -> ${h60Spark("t")})").as("hashes"))
+          expr(s"transform(array_distinct(toks), t -> ${h60Spark("t")})").as("hashes"))
         .select(col("doc_id"), expr(
           """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
             |  acc + if(2 * size(filter(hashes, h -> shiftright(h, b) % 2 = 1)) >= size(hashes),
@@ -137,8 +141,9 @@ object DedupOps {
          |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin) { (s, dir) =>
       val t = Tables.documents(s, dir)
-        .where(expr(s"size($toksSpark) >= 3"))
-        .select(col("doc_id"), expr(s"array_distinct($shinglesSpark)").as("sh"))
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) >= 3"))
+        .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
       val a = t.as("a"); val b = t.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.kernel.{Extract, ExtractMode}
+import graft.model.Doc
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's "continuous" behavior is only its Flask request loop
+  * (SURVEY.md §2.6) — the streaming engine generalizes ingest to unbounded
+  * input: the same pure extraction kernel runs inside a streaming
+  * micro-batch (readStream → mapPartitions → writeStream), and operational
+  * metrics become watermarked event-time windows. State for incremental
+  * per-doc accounting lives in mapGroupsWithState.
+  *
+  * At scale: the kernel stage is stateless (map-only), so streaming
+  * parallelism = source partitions; only the windowed metric agg shuffles,
+  * and the watermark bounds its state.
+  */
+object StreamingExtract {
+
+  /** Streaming extraction: same kernel, unbounded docs. */
+  def extractStream(docs: Dataset[Doc], mode: ExtractMode = ExtractMode.ChunkMode): Dataset[Doc] =
+    docs.mapPartitions(_.map(Extract.extractDoc(_, mode)))(docs.encoder)
+
+  /** File-source variant: watch a directory of parquet docs. */
+  def extractFileStream(spark: SparkSession, inputDir: String): Dataset[Doc] = {
+    import spark.implicits._
+    val schema = spark.emptyDataset[Doc].schema
+    extractStream(spark.readStream.schema(schema).parquet(inputDir).as[Doc])
+  }
+
+  /** Watermarked tumbling-window span-production metrics over a stream of
+    * (ts, doc_id, n_spans) ingest events — the streaming analog of the A5
+    * counters / q_window_events.
+    */
+  def spanRate(ingestEvents: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    ingestEvents
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("kind"))
+      .agg(count(lit(1)).as("spans"), sum(col("chars")).as("chars"))
+      .select(col("window.start").as("hour"), col("kind"), col("spans"), col("chars"))
+
+  /** Per-doc running span counter with explicit state (the incremental
+    * lineage counterpart): emits (doc_id, total_spans_so_far) per update.
+    */
+  final case class DocProgress(doc_id: String, spans_total: Long)
+  def runningSpanCounts(spans: Dataset[(String, Int)]): Dataset[DocProgress] = {
+    import spans.sparkSession.implicits._
+    spans.groupByKey(_._1)
+      .mapGroupsWithState[Long, DocProgress](GroupStateTimeout.NoTimeout) {
+        (docId: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val total = prev + rows.map(_._2.toLong).sum
+          state.update(total)
+          DocProgress(docId, total)
+      }
+  }
+}

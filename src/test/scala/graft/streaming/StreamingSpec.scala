@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.model.{Doc, Span}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming extraction: kernel over MemoryStream matches batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc("s1", Seq(Span("text", "a" * 920, "", 0))),
+      Doc("s2", Seq(Span("image", "", "media://1", 0), Span("pdf_page", "b" * 100, "", 1))))
+    val stream = MemoryStream[Doc]
+    val q = StreamingExtract.extractStream(stream.toDS())
+      .writeStream.format("memory").queryName("spans_out").outputMode("append").start()
+    stream.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spans_out").as[Doc].collect().sortBy(_.doc_id).toSeq
+    val batch = docs.map(graft.kernel.Extract.extractDoc(_)).sortBy(_.doc_id)
+    assert(streamed == batch)
+    assert(streamed.head.spans.map(_.kind) == Seq("chunk", "chunk", "chunk"))
+  }
+
+  test("watermarked windowed span-rate aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    val df = stream.toDS().toDF("ts", "kind", "chars")
+    val q = StreamingExtract.spanRate(df, "5 minutes")
+      .writeStream.format("memory").queryName("span_rate").outputMode("complete").start()
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "chunk", 500L),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), "chunk", 300L),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "media", 0L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("span_rate")
+      .select("hour", "kind", "spans", "chars").as[(Timestamp, String, Long, Long)]
+      .collect().sortBy(r => (r._1.getTime, r._2))
+    assert(rows.toSeq == Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "chunk", 2L, 800L),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "media", 1L, 0L)))
+  }
+
+  test("stateful running span counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Int)]
+    val q = StreamingExtract.runningSpanCounts(stream.toDS())
+      .writeStream.format("memory").queryName("doc_progress").outputMode("update").start()
+    stream.addData(("d1", 3), ("d2", 1))
+    q.processAllAvailable()
+    stream.addData(("d1", 2))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("doc_progress").as[StreamingExtract.DocProgress]
+      .collect().groupBy(_.doc_id).map { case (k, v) => k -> v.map(_.spans_total).max }
+    assert(last == Map("d1" -> 5L, "d2" -> 1L))
+  }
+}
