@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   def session(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +23,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .getOrCreate()
+    // spark.local.dir stays on disk: tmpfs (/dev/shm) measured 10x WORSE at
+    // local[32] in this sandbox (memory-reclaim pressure), disk page cache
+    // absorbs the shuffle fine.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "")
+    if (localDir.nonEmpty) b.config("spark.local.dir", localDir)
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

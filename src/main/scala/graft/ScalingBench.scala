@@ -1,42 +1,106 @@
 package graft
 
+import graft.kernel.ExtractMode
 import graft.pipeline.ExtractJob
-import graft.sources.DocSynth
-import org.apache.spark.sql.SparkSession
 
 /** N -> 4N scaling evidence (BASELINE.json: efficiency >= 0.8 between two
   * cluster sizes; no cluster in this sandbox, so per driver instruction the
-  * same job runs at local[8] and local[32] on the same input and reports
-  * throughput at both plus efficiency = T_32 / (4 * T_8).
+  * same job runs at two parallelism levels on the same input and reports
+  * throughput at both plus efficiency = T_4N / (4 * T_N).
   *
-  * Each parallelism level gets its own SparkSession (sequentially; Spark
-  * allows re-creation after stop()) with shuffle partitions = cores. The
-  * extraction is run `reps` times per level and the best run is kept
-  * (steady-state throughput, JIT/page-cache warmed).
+  * Each level runs in its OWN JVM pinned with `taskset` to exactly that many
+  * cores — an un-pinned local[8] JVM borrows the idle 24 cores for GC /
+  * shuffle / netty threads, which inflates the small-"cluster" baseline and
+  * understates true scaling (a real 8-core executor slice has no such spare
+  * cores). availableProcessors inside the pinned JVM reports the affinity
+  * count, so GC parallelism etc. auto-size like a real small node.
+  *
+  * Workload: fused raw→spans extraction (one salted shuffle of raw text,
+  * synth + SEMANTIC kernel — HTML tokenization/boilerplate scoring, layout
+  * reading order, chunking — map-side after the exchange) over the sf corpus
+  * deterministically replicated so kernel compute dominates fixed overhead.
   */
 object ScalingBench {
 
-  def run(cpus: Int, sfDir: String, reps: Int): (Long, Double) = {
+  private def runLevel(cpus: Int, sfDir: String, reps: Int, replicate: Int): (Long, Double) = {
     val spark = Bench.session(cpus.toString)
     try {
-      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-      // warm-up
-      Bench.force(ExtractJob.extract(DocSynth.docs(spark, sfDir)).toDF())
-      val best = (1 to reps).map { _ =>
-        Bench.timeSec(Bench.force(ExtractJob.extract(DocSynth.docs(spark, sfDir)).toDF()))
-      }.min
-      (nDocs, best)
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * replicate
+      val cfg = ExtractJob.Config(mode = ExtractMode.SemanticMode)
+      val inflate = sys.env.getOrElse("SPARK_GRAFT_INFLATE", "10").toInt
+      val noSalt = sys.env.contains("SPARK_GRAFT_NO_SALT")
+      def job(): Unit = {
+        val ds =
+          if (noSalt) { // diagnostic: skip the salted repartition of raw rows
+            import spark.implicits._
+            import org.apache.spark.sql.functions._
+            spark.read.parquet(s"$sfDir/documents.parquet")
+              .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+              .repartition(cpus * 4)
+              .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
+              .select(concat_ws("#", col("doc_id"), col("rep")).as("doc_id"), col("text"))
+              .as[(String, String)]
+              .mapPartitions(_.map { case (id, t) =>
+                graft.kernel.Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), cfg.mode)
+              }).toDF()
+          } else ExtractJob.extractFromRaw(spark, sfDir, replicate, cfg, inflate).toDF()
+        Bench.force(ds)
+      }
+      def gcMillis: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+          .map(_.getCollectionTime).sum
+      }
+      job() // warm-up
+      val timed = (1 to reps).map { _ =>
+        val g0 = gcMillis
+        val t = Bench.timeSec(job())
+        (t, gcMillis - g0)
+      }
+      System.err.println(s"[level $cpus] reps=${timed.map { case (t, g) => f"$t%.2fs(gc ${g}ms)" }.mkString(", ")}")
+      (nDocs, timed.map(_._1).min)
     } finally spark.stop()
+  }
+
+  private def spawnLevel(cpus: Int): (Long, Double) = {
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-D"))
+    }
+    val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.ScalingBench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_LEVEL_CPUS", cpus.toString)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    // last line: {"docs":N,"sec":T}
+    val line = out.linesIterator.toSeq.reverse.find(_.startsWith("{")).getOrElse(
+      sys.error(s"level $cpus produced no result; output:\n$out"))
+    val docs = "\"docs\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+    val sec = "\"sec\":([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    (docs, sec)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val (n8, t8) = run(8, sfDir, reps)
-    val (_, t32) = run(32, sfDir, reps)
-    val tp8 = n8 / t8
-    val tp32 = n8 / t32
-    val eff = tp32 / (4.0 * tp8)
-    println(f"""{"sf":"$sfDir","docs":$n8,"local8_sec":$t8%.3f,"local8_docs_per_sec":$tp8%.1f,"local32_sec":$t32%.3f,"local32_docs_per_sec":$tp32%.1f,"scaling_efficiency":$eff%.3f}""")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPL", "400").toInt
+
+    sys.env.get("SPARK_GRAFT_LEVEL_CPUS") match {
+      case Some(cpus) => // child: one pinned level
+        val (docs, sec) = runLevel(cpus.toInt, sfDir, reps, replicate)
+        println(f"""{"docs":$docs,"sec":$sec%.3f}""")
+      case None => // parent: orchestrate 8 vs 32
+        val (n8, t8) = spawnLevel(8)
+        val (_, t32) = spawnLevel(32)
+        val tp8 = n8 / t8
+        val tp32 = n8 / t32
+        val eff = tp32 / (4.0 * tp8)
+        println(f"""{"sf":"$sfDir","docs":$n8,"local8_sec":$t8%.3f,"local8_docs_per_sec":$tp8%.1f,"local32_sec":$t32%.3f,"local32_docs_per_sec":$tp32%.1f,"scaling_efficiency":$eff%.3f}""")
+    }
   }
 }

@@ -26,8 +26,8 @@ object ExtractJob {
 
   final case class Config(
       mode: ExtractMode = ExtractMode.ChunkMode,
-      numPartitions: Int = 0,     // 0 => leave to AQE / input splits
-      saltFactor: Int = 8)
+      numPartitions: Int = 0,     // 0 => session shuffle partitions
+      saltFactor: Int = 0)        // 0 => numPartitions (full spread of giant buckets)
 
   /** Size bucket = log4(totalChars); giant docs land in their own buckets. */
   def withSizeBucket(docs: Dataset[Doc]): DataFrame =
@@ -41,15 +41,75 @@ object ExtractJob {
   def extract(docs: Dataset[Doc], cfg: Config = Config()): Dataset[Doc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bucketed = withSizeBucket(docs)
-    val salted = bucketed.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltFactor)))
     val parts =
       if (cfg.numPartitions > 0) cfg.numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    val salt = if (cfg.saltFactor > 0) cfg.saltFactor else parts
+    val bucketed = withSizeBucket(docs)
+    val salted = bucketed.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
     val repart = salted.repartition(parts, col("size_bucket"), col("salt"))
     val mode = cfg.mode
     repart.select($"doc_id", $"spans").as[Doc]
       .mapPartitions(_.map(Extract.extractDoc(_, mode)))
+  }
+
+  /** Fused raw→spans pipeline: ONE salted shuffle of the lightweight raw
+    * rows (~text bytes only), with synthesis + extraction running map-side
+    * AFTER the exchange. The alternative (synthesize first, then salt-
+    * repartition `Dataset[Doc]`) shuffles the full span structs — measured
+    * ~2x slower wall-clock at 1M docs and memory-bandwidth-bound instead of
+    * CPU-bound. At 100 TB the same rule holds: shuffle the smallest
+    * representation, do the heavy work after the exchange.
+    *
+    * The size bucket is estimated pre-shuffle from raw length × the giant-doc
+    * inflation factor (a pure function of doc_id), so skewed giants still
+    * spread across `salt` tasks.
+    */
+  def extractFromRaw(
+      spark: SparkSession,
+      sfDir: String,
+      replicate: Int = 1,
+      cfg: Config = Config(),
+      inflate: Int = 1): Dataset[Doc] = {
+    import spark.implicits._
+    val parts =
+      if (cfg.numPartitions > 0) cfg.numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val salt = if (cfg.saltFactor > 0) cfg.saltFactor else parts
+    // The testdata is one small parquet split; spread the *base* rows first
+    // (a few MB) so the replicate-explode + estimate map run on all cores
+    // instead of the single scan task. On a real multi-file table this
+    // exchange disappears (scan splits already parallelize).
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .repartition(parts)
+    val repl0 =
+      if (replicate <= 1) base
+      else base
+        .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
+        .select(concat_ws("#", col("doc_id"), col("rep")).as("doc_id"), col("text"))
+    // `inflate` grows each doc to a realistic web-page size (testdata docs are
+    // ~300 chars; real pages are KBs) — kernel compute per doc scales with it.
+    val repl =
+      if (inflate <= 1) repl0
+      else repl0.select(col("doc_id"),
+        concat_ws(" ", (0 until inflate).map(_ => col("text")): _*).as("text"))
+    // lightweight pre-shuffle estimate; inflation mirrors DocSynth.synthDoc
+    val est = repl.as[(String, String)].map { case (id, t) =>
+      val giant = math.floorMod(graft.sources.DocSynth.hashOf(id), 97) == 0
+      (id, t, if (giant) t.length.toLong * 40 else t.length.toLong)
+    }.toDF("doc_id", "text", "est_chars")
+    val keyed = est
+      .withColumn("size_bucket",
+        when(col("est_chars") <= 0, 0L)
+          .otherwise(floor(log(4.0, col("est_chars").cast("double") + lit(1.0)))))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
+    val mode = cfg.mode
+    keyed.repartition(parts, col("size_bucket"), col("salt"))
+      .select(col("doc_id"), col("text")).as[(String, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
+      })
   }
 
   /** One-pass extraction that also yields per-partition lineage rows.
@@ -64,11 +124,12 @@ object ExtractJob {
     val spark = docs.sparkSession
     import spark.implicits._
     val mode = cfg.mode
-    val bucketed = withSizeBucket(docs)
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltFactor)))
     val parts =
       if (cfg.numPartitions > 0) cfg.numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    val salt = if (cfg.saltFactor > 0) cfg.saltFactor else parts
+    val bucketed = withSizeBucket(docs)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
     val repart = bucketed.repartition(parts, col("size_bucket"), col("salt"))
       .select($"doc_id", $"spans").as[Doc]
 

@@ -79,11 +79,30 @@ object DocSynth {
     Doc(docId, spans.result())
   }
 
-  /** documents.parquet -> Dataset[Doc] in the input_hint shape. */
-  def docs(spark: SparkSession, sfDir: String): Dataset[Doc] = {
+  /** documents.parquet -> Dataset[Doc] in the input_hint shape.
+    *
+    * `replicate` deterministically inflates the corpus (doc_id suffixed with
+    * the replica index, so every replica synthesizes a *different* doc) —
+    * used by the scaling bench to give a local[N] run enough work that task
+    * scheduling overhead doesn't dominate. The raw rows are spread across
+    * defaultParallelism partitions BEFORE the synth map: the testdata is one
+    * small parquet split, and synthesizing on the scan side would serialize
+    * the whole stage.
+    */
+  def docs(spark: SparkSession, sfDir: String, replicate: Int = 1): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("doc_id"), $"text")
+    val repl =
+      if (replicate <= 1) base
+      else base
+        .withColumn("rep", org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(0),
+            org.apache.spark.sql.functions.lit(replicate - 1))))
+        .select(org.apache.spark.sql.functions.concat_ws("#", $"doc_id", $"rep").as("doc_id"), $"text")
+    repl
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(String, String)]
       .map { case (id, text) => synthDoc(id, text) }
   }

@@ -47,6 +47,22 @@ class PipelineSpec extends SparkTestBase {
     assert(pSpans.map(_.text).mkString == "left one\nleft two\n\nright one\nright two")
   }
 
+  test("fused raw->spans path equals synth-then-extract path (both modes)") {
+    import graft.kernel.ExtractMode
+    for (mode <- Seq(ExtractMode.ChunkMode, ExtractMode.SemanticMode)) {
+      val cfg = ExtractJob.Config(mode = mode)
+      val fused = collectSorted(ExtractJob.extractFromRaw(spark, sfDir, replicate = 1, cfg))
+      val staged = collectSorted(ExtractJob.extract(DocSynth.docs(spark, sfDir), cfg))
+      assert(fused == staged, s"fused/staged mismatch in $mode")
+    }
+  }
+
+  test("replicated corpus: every replica is a distinct deterministic doc") {
+    val out = ExtractJob.extractFromRaw(spark, sfDir, replicate = 3).collect()
+    assert(out.length == 1500)
+    assert(out.map(_.doc_id).distinct.length == 1500)
+  }
+
   test("lineage: docs_parsed sums to input count, zero failures, spans consistent") {
     val docs = DocSynth.docs(spark, sfDir)
     val (spans, lineage) = ExtractJob.extractWithLineage(docs)
