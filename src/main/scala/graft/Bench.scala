@@ -40,11 +40,16 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** Extraction bench: synthesize -> salted repartition -> kernel, forced. */
-  def extractionBench(spark: SparkSession, sfDir: String): (Long, Double) = {
+  /** Extraction bench: the fused production path (one salted shuffle of raw
+    * rows, synth + kernel map-side), both live-parity chunk mode and the
+    * north-star semantic mode.
+    */
+  def extractionBench(spark: SparkSession, sfDir: String): (Long, Double, Double) = {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val sec = timeSec(force(ExtractJob.extract(DocSynth.docs(spark, sfDir)).toDF()))
-    (nDocs, sec)
+    val chunkSec = timeSec(force(ExtractJob.extractFromRaw(spark, sfDir).toDF()))
+    val semanticSec = timeSec(force(ExtractJob.extractFromRaw(spark, sfDir,
+      cfg = ExtractJob.Config(mode = graft.kernel.ExtractMode.SemanticMode)).toDF()))
+    (nDocs, chunkSec, semanticSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -56,17 +61,18 @@ object Bench {
     try force(SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => () }
 
-    val (nDocs, extractSec) = extractionBench(spark, sfDir)
-    val docsPerSec = nDocs / math.max(extractSec, 1e-9)
+    val (nDocs, chunkSec, semSec) = extractionBench(spark, sfDir)
+    val docsPerSec = nDocs / math.max(chunkSec, 1e-9)
+    val semDocsPerSec = nDocs / math.max(semSec, 1e-9)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timeSec(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum + extractSec
+    val total = results.map(_._2).filter(_ >= 0).sum + chunkSec + semSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction_sec":$extractSec%.3f,"extraction_docs_per_sec":$docsPerSec%.1f,"docs":$nDocs}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction_sec":$chunkSec%.3f,"extraction_docs_per_sec":$docsPerSec%.1f,"semantic_extraction_sec":$semSec%.3f,"semantic_docs_per_sec":$semDocsPerSec%.1f,"docs":$nDocs}""")
     spark.stop()
   }
 }

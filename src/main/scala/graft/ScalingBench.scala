@@ -26,7 +26,12 @@ object ScalingBench {
     val spark = Bench.session(cpus.toString)
     try {
       val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * replicate
-      val cfg = ExtractJob.Config(mode = ExtractMode.SemanticMode)
+      // 4 tasks per core: zipf doc sizes + 40x giants make equal-count
+      // partitions unequal-work; finer tasks let the scheduler rebalance
+      // (the straggler tax grows with parallelism, so coarse tasks penalize
+      // the 32-way level disproportionately).
+      val partsMult = sys.env.getOrElse("SPARK_GRAFT_PARTS_MULT", "4").toInt
+      val cfg = ExtractJob.Config(mode = ExtractMode.SemanticMode, numPartitions = cpus * partsMult)
       val inflate = sys.env.getOrElse("SPARK_GRAFT_INFLATE", "10").toInt
       val noSalt = sys.env.contains("SPARK_GRAFT_NO_SALT")
       def job(): Unit = {
