@@ -26,11 +26,10 @@ object ScalingBench {
     val spark = Bench.session(cpus.toString)
     try {
       val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * replicate
-      // 4 tasks per core: zipf doc sizes + 40x giants make equal-count
-      // partitions unequal-work; finer tasks let the scheduler rebalance
-      // (the straggler tax grows with parallelism, so coarse tasks penalize
-      // the 32-way level disproportionately).
-      val partsMult = sys.env.getOrElse("SPARK_GRAFT_PARTS_MULT", "4").toInt
+      // 1 task per core measured best here: 4x finer tasks (128 at 32 cores)
+      // triggered multi-second GC storms in this sandbox; salt spreads the
+      // giant-doc buckets regardless of task count.
+      val partsMult = sys.env.getOrElse("SPARK_GRAFT_PARTS_MULT", "1").toInt
       val cfg = ExtractJob.Config(mode = ExtractMode.SemanticMode, numPartitions = cpus * partsMult)
       val inflate = sys.env.getOrElse("SPARK_GRAFT_INFLATE", "10").toInt
       val noSalt = sys.env.contains("SPARK_GRAFT_NO_SALT")

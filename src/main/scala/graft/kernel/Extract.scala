@@ -38,8 +38,18 @@ object Extract {
       out += Span(kind, text, mediaRef, idx)
       idx += 1
     }
-    // Input spans are processed in offset order regardless of array order.
-    for (span <- doc.spans.sortBy(_.offset)) {
+    // Input spans are processed in offset order regardless of array order;
+    // skip the sort copy when already ordered (the common case).
+    val ordered = {
+      var sorted = true
+      var i = 1
+      while (sorted && i < doc.spans.length) {
+        if (doc.spans(i - 1).offset > doc.spans(i).offset) sorted = false
+        i += 1
+      }
+      if (sorted) doc.spans else doc.spans.sortBy(_.offset)
+    }
+    for (span <- ordered) {
       span.kind match {
         case k if SpanKinds.MediaInputs.contains(k) =>
           emit(SpanKinds.Media, "", span.media_ref)

@@ -59,8 +59,19 @@ object HtmlExtract {
     sb.toString
   }
 
-  private def wordCount(s: String): Int =
-    s.split("(?U)\\s+").count(_.nonEmpty)
+  /** Whitespace-run word count, allocation-free (hot path: per block). */
+  private def wordCount(s: String): Int = {
+    var count = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inWord) count += 1
+      inWord = !ws
+      i += 1
+    }
+    count
+  }
 
   /** Tokenize + segment into raw blocks with anchor-char accounting. */
   private def segment(html: String): Vector[RawBlock] = {

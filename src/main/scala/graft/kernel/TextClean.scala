@@ -30,9 +30,41 @@ object TextClean {
     PyText.strip(t)
   }
 
-  /** `normalize_whitespace` (paragraph_utils.py:3-4). */
-  def normalizeWhitespace(text: String): String =
-    PyText.strip(spaceRuns.matcher(text).replaceAll(" "))
+  /** `normalize_whitespace` (paragraph_utils.py:3-4): collapse space/tab
+    * runs then Python-strip. Manual single pass — this runs per HTML block
+    * in the hot kernel path, where the regex matcher's allocations dominated
+    * the 32-thread profile.
+    */
+  def normalizeWhitespace(text: String): String = {
+    val n = text.length
+    var i = 0
+    // fast path: nothing to collapse
+    var needs = false
+    var prevSpaceish = false
+    while (i < n && !needs) {
+      val c = text.charAt(i)
+      val sp = c == ' ' || c == '\t'
+      if (sp && (prevSpaceish || c == '\t')) needs = true
+      prevSpaceish = sp
+      i += 1
+    }
+    if (!needs) return PyText.strip(text)
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    prevSpaceish = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ' || c == '\t') {
+        if (!prevSpaceish) sb.append(' ')
+        prevSpaceish = true
+      } else {
+        sb.append(c)
+        prevSpaceish = false
+      }
+      i += 1
+    }
+    PyText.strip(sb.toString)
+  }
 
   /** `truncate_text` (app.py:44-48): code-point truncate + "...". */
   def truncate(text: String, maxChars: Int = 500): String =
