@@ -31,7 +31,7 @@ object ScalingBench {
       // giant-doc buckets regardless of task count.
       val partsMult = sys.env.getOrElse("SPARK_GRAFT_PARTS_MULT", "1").toInt
       val cfg = ExtractJob.Config(mode = ExtractMode.SemanticMode, numPartitions = cpus * partsMult)
-      val inflate = sys.env.getOrElse("SPARK_GRAFT_INFLATE", "10").toInt
+      val inflate = sys.env.getOrElse("SPARK_GRAFT_INFLATE", "1").toInt
       val noSalt = sys.env.contains("SPARK_GRAFT_NO_SALT")
       def job(): Unit = {
         val ds =
@@ -92,7 +92,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPL", "400").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPL", "1200").toInt
 
     sys.env.get("SPARK_GRAFT_LEVEL_CPUS") match {
       case Some(cpus) => // child: one pinned level
