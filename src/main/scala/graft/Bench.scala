@@ -57,13 +57,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
 
-    // warm the JVM/codegen once on the smallest input
-    try force(SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001"))
-    catch { case _: Throwable => () }
+    // warm the JVM/codegen (queries + both extraction modes) on the smallest input
+    try {
+      force(SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001"))
+      force(ExtractJob.extractFromRaw(spark, "/root/testdata/sf0.001").toDF())
+      force(ExtractJob.extractFromRaw(spark, "/root/testdata/sf0.001",
+        cfg = ExtractJob.Config(mode = graft.kernel.ExtractMode.SemanticMode)).toDF())
+    } catch { case _: Throwable => () }
 
     val (nDocs, chunkSec, semSec) = extractionBench(spark, sfDir)
     val docsPerSec = nDocs / math.max(chunkSec, 1e-9)
     val semDocsPerSec = nDocs / math.max(semSec, 1e-9)
+    // sustained throughput: replicated corpus large enough that fixed job
+    // overhead (~0.5s) is amortized — the number that extrapolates to a
+    // long-running 100 TB job.
+    val repl = 200
+    val sustainedSec = timeSec(force(ExtractJob.extractFromRaw(spark, sfDir, repl,
+      ExtractJob.Config(mode = graft.kernel.ExtractMode.SemanticMode)).toDF()))
+    val sustained = nDocs * repl / math.max(sustainedSec, 1e-9)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timeSec(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
@@ -72,7 +83,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + chunkSec + semSec
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction_sec":$chunkSec%.3f,"extraction_docs_per_sec":$docsPerSec%.1f,"semantic_extraction_sec":$semSec%.3f,"semantic_docs_per_sec":$semDocsPerSec%.1f,"docs":$nDocs}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction_sec":$chunkSec%.3f,"extraction_docs_per_sec":$docsPerSec%.1f,"semantic_extraction_sec":$semSec%.3f,"semantic_docs_per_sec":$semDocsPerSec%.1f,"sustained_semantic_docs_per_sec":$sustained%.1f,"docs":$nDocs}""")
     spark.stop()
   }
 }
