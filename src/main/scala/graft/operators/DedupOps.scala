@@ -130,6 +130,52 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // End-to-end near-dup pipeline: MinHash/LSH candidate generation →
+    // exact n-gram-Jaccard verification (≥ 0.5) → min-id keeper per dup.
+    // This is the at-scale shape: the quadratic step only ever touches the
+    // LSH candidate pairs, and verification joins shingle sets by doc_id.
+    Op("q_dedup_pipeline",
+      s"""WITH $sigDuckCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS bh FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS bh FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |       FROM documents WHERE len($toksDuck) >= 3)
+         |SELECT c.doc_a AS keeper, c.doc_b AS dup,
+         |       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |             CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 4) AS jaccard
+         |FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
+         |ORDER BY keeper, dup""".stripMargin) { (s, dir) =>
+      val sig = sigSpark(s, dir)
+      val b0 = sig.select(col("doc_id"), lit(0).as("band"),
+        md5(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh"))
+      val b1 = sig.select(col("doc_id"), lit(1).as("band"),
+        md5(concat_ws("|", col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh"))
+      val bands = b0.unionByName(b1)
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) >= 3"))
+        .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
+      val jac = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+        size(array_union(col("x.sh"), col("y.sh"))).cast("double")
+      cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
+        .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
+        .where(jac >= 0.5)
+        .select(col("doc_a").as("keeper"), col("doc_b").as("dup"), round(jac, 4).as("jaccard"))
+        .orderBy("keeper", "dup")
+    },
+
     // n-gram Jaccard between neighboring docs (blocked pairs — the pairwise
     // score kernel; LSH above supplies the candidate pairs at scale).
     Op("q_ngram_jaccard",

@@ -73,6 +73,52 @@ class PipelineSpec extends SparkTestBase {
     assert(lin.map(_.spans_emitted).sum == totalSpans)
   }
 
+  test("skew: salted repartition spreads giant docs across partitions") {
+    import org.apache.spark.sql.functions._
+    // replicate enough that several giant docs (1/97 of ids) exist
+    val out = ExtractJob.extractFromRaw(spark, sfDir, replicate = 4,
+      ExtractJob.Config(numPartitions = 8))
+    val byPart = out.toDF()
+      .select(spark_partition_id().as("pid"),
+        aggregate(col("spans"), lit(0L), (acc, s) => acc + length(s.getField("text"))).as("chars"))
+      .groupBy("pid").agg(sum("chars").as("chars"), count(lit(1)).as("docs"))
+      .collect()
+    assert(byPart.length == 8) // no empty partitions
+    val loads = byPart.map(r => r.getAs[Long]("chars").toDouble)
+    // giants are ~40x normal docs; without spreading, one partition would
+    // carry multiples of the mean. Salting keeps max within 3x mean.
+    assert(loads.max < loads.sum / loads.length * 3.0,
+      s"skewed partition loads: ${loads.sorted.reverse.take(3).mkString(",")} vs mean ${loads.sum / loads.length}")
+  }
+
+  test("paragraph mode: spans are kernel extract_paragraphs outputs in order") {
+    import graft.kernel.{ExtractMode, Paragraphs}
+    val docs = DocSynth.docs(spark, sfDir)
+    val out = ExtractJob.extract(docs, ExtractJob.Config(mode = ExtractMode.ParagraphMode))
+      .collect().sortBy(_.doc_id)
+    val in = docs.collect().sortBy(_.doc_id)
+    assert(out.nonEmpty && out.length == in.length)
+    for ((i, o) <- in.zip(out)) {
+      val expected = i.spans.sortBy(_.offset).flatMap { s =>
+        if (s.kind == "image" || s.kind == "figure" || s.kind == "table") Seq(("media", "", s.media_ref))
+        else Paragraphs.extractParagraphs(s.text).map(p => ("paragraph", p, ""))
+      }
+      assert(o.spans.map(s => (s.kind, s.text, s.media_ref)) == expected, s"doc ${i.doc_id}")
+    }
+  }
+
+  test("observe(): live ingest counters surface docs/spans totals") {
+    val (spans, _) = ExtractJob.extractWithLineage(DocSynth.docs(spark, sfDir))
+    val observed = spans.toDF().observe("ingest",
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("docs"),
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("spans"))).as("spans"))
+    observed.collect() // run through THIS Dataset's queryExecution (write would spawn a new one)
+    val row = observed.queryExecution.observedMetrics("ingest")
+    assert(row.getAs[Long]("docs") == 500L)
+    assert(row.getAs[Long]("spans") > 500L)
+  }
+
   test("resume: kill after 3 groups -> re-run converges to single-shot output") {
     val docs = DocSynth.docs(spark, sfDir)
     val dirA = Files.createTempDirectory("graft-resume-a").toString
