@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.Md5Prefix64
+import graft.plans.NativeHashRule
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions: register with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Injects:
+  *  - `md5prefix64(str)` SQL function (native 60-bit content hash);
+  *  - [[NativeHashRule]], which rewrites the portable conv-based hash
+  *    pattern used by the oracle-compatible queries into the native
+  *    expression — same results, one digest pass, no hex round-trip.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("md5prefix64"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "md5prefix64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix64(children.head)))
+    ext.injectOptimizerRule(_ => NativeHashRule)
+  }
+}
