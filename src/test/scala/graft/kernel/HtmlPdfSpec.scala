@@ -74,4 +74,36 @@ class HtmlPdfSpec extends AnyFunSuite {
     val runs = PdfLayout.parseRuns("10\t5\ta\n40\t5\tb\n200\t5\tc")
     assert(PdfLayout.assignColumns(runs) == Vector(0, 0, 1))
   }
+
+  test("fuzz: random tag soup never throws; body text never leaks markup") {
+    val rnd = new scala.util.Random(42)
+    val atoms = Vector("<", ">", "</", "<p>", "</p>", "<a href='", "'>", "<div", " class=x>",
+      "<!--", "-->", "<script>", "</script>", "&amp;", "&#", "&bogus;", "text ", "words here ",
+      "<img src=", "\"u.png\"", "/>", "<h2>", "</h2>", "\n", "\t", "é中😀", "<br>", "=", "'")
+    for (_ <- 1 to 500) {
+      val soup = Vector.fill(rnd.nextInt(60))(atoms(rnd.nextInt(atoms.length))).mkString
+      val blocks = HtmlExtract.extractBlocks(soup) // must not throw
+      for (b <- blocks) b match {
+        case HtmlExtract.Body(t)    => assert(!t.contains("<script>"), s"script leaked from: $soup")
+        case HtmlExtract.Heading(t) => assert(t.nonEmpty)
+        case HtmlExtract.MediaRef(_) => ()
+      }
+    }
+  }
+
+  test("fuzz: random layout runs — never throws, every run text preserved exactly once") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(30)
+      val runs = (0 until n).map { i =>
+        val x = rnd.nextInt(500); val y = rnd.nextInt(800)
+        s"$x\t$y\tt$i"
+      }
+      val garbage = if (rnd.nextBoolean()) "\nnot-a-run\n1\t2" else ""
+      val text = PdfLayout.readingOrderText(runs.mkString("\n") + garbage)
+      for (i <- 0 until n)
+        assert(("(^|[ \n])t" + i + "($|[ \n])").r.findAllIn(text).size == 1,
+          s"run t$i not exactly once in: $text")
+    }
+  }
 }
