@@ -90,6 +90,56 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     },
 
+    // Sessionization: lag() gap detection + running session counter — the
+    // classic event-pipeline window pattern (gap > 30 min starts a session).
+    Op("q_sessionize",
+      """SELECT event_id, user_id,
+        |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // microsecond arithmetic (unix_micros/epoch_us) on both engines —
+      // second-granularity casts truncate vs round differently at the edge
+      // ts reads as TIMESTAMP_NTZ; session TZ is UTC so the LTZ cast is identity
+      val tsMicros = unix_micros(col("ts").cast("timestamp"))
+      val lagMicros = unix_micros(lag(col("ts"), 1).over(byUser).cast("timestamp"))
+      val newSession = when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .when(tsMicros - lagMicros > 1800000000L, 1)
+        .otherwise(0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), newSession.as("new_session"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("new_session")).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint").as("session_id"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ROLLUP grouping sets: per (event_type, day) with day and grand totals.
+    Op("q_rollup",
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+        |       CAST(count(*) AS BIGINT) AS events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .rollup(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(date_format(col("d"), "yyyy-MM-dd"), lit("ALL")).as("day"),
+          col("events"), col("total_value"))
+        .orderBy("event_type", "day")
+    },
+
     // Set operation: users with high-value clicks but no high-value purchase.
     Op("q_set_except",
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 190
