@@ -181,6 +181,50 @@ for d in range(6):
         o["offset"] = i
     doc_cases.append({"doc_id": f"golden-{d}", "spans": spans, "out_spans": out})
 
+# ---------- round-1 extension: surgical edge fixtures (fresh RNG so the
+# original draws above are unchanged) ----------
+rng2 = random.Random(99)
+
+# astral chars straddling the 500-cp chunk boundary
+astral_cases = []
+for text in [
+    "x" * 499 + "\U0001F600" + "y" * 300,       # astral AT cp 500
+    "\U0001F600" * 499 + "Z" + "\U0001F600" * 200,
+    ("ab\U0001F937\u200d\u2642" * 120),          # ZWJ sequences
+    "\u00e9" * 420 + "e\u0301" * 120,            # precomposed vs combining
+]:
+    for (cs, ov) in [(500, 80), (100, 30)]:
+        astral_cases.append({"text": text, "chunk_size": cs, "overlap": ov,
+                             "chunks": chunk_text(text, cs, ov)})
+
+# exotic whitespace through the cleaning chain (NEL, VT, FF, NBSP, IDEOSPACE)
+ws_inputs = [
+    "a\x85b\x0bc\x0cd",
+    "\u3000wide\u3000 space\u3000",
+    "mix\t\u00a0 of\u00a0\t odd  spaces",
+    "end-\nof\u00ad-\nline",        # soft hyphen is \w? (Unicode: no)
+    "\u2028line\u2029para",          # LS/PS are not \n
+]
+ws_clean = [{"text": t, "cleaned": _clean_page_text(t)} for t in ws_inputs]
+ws_para = [{"text": t, "paragraphs": extract_paragraphs(t)} for t in ws_inputs]
+ws_pz = [{"text": t, "min_len": 20, "paragraphs": paragraphize(t)} for t in ws_inputs]
+
+# sentence-split punctuation edges
+sent_inputs = [
+    "What?! Yes. no. Maybe?  Sure!A glued capital.",
+    "Ellipsis... Then. 3.14 is pi. Dr. Who arrived.",
+    "ALL CAPS! SECOND HERE? third lower.",
+]
+sent_cases = [{"text": t, "groups": _fallback_sentence_grouping(t)} for t in sent_inputs]
+
+golden_ext = {
+    "chunk_text_edge.json": astral_cases,
+    "clean_edge.json": ws_clean,
+    "paragraphs_edge.json": ws_para,
+    "paragraphize_edge.json": ws_pz,
+    "sentences_edge.json": sent_cases,
+}
+
 golden = {
     "chunk_text.json": chunk_cases,
     "clean_page_text.json": clean_cases,
@@ -192,6 +236,7 @@ golden = {
     "normalize_date.json": date_cases,
     "extract_docs.json": doc_cases,
 }
+golden.update(golden_ext)
 for name, data in golden.items():
     with open(os.path.join(OUT, name), "w") as f:
         json.dump(data, f, ensure_ascii=False, indent=1)

@@ -92,6 +92,23 @@ class KernelGoldenSpec extends AnyFunSuite {
         s"date mismatch for '${c.get("in").asText()}'")
   }
 
+  test("edge goldens: astral/ZWJ chunk boundaries, exotic whitespace, punctuation") {
+    for (c <- Golden.load("chunk_text_edge.json"))
+      assert(Chunker.chunkText(c.get("text").asText(),
+        c.get("chunk_size").asInt(), c.get("overlap").asInt()) == Golden.strs(c.get("chunks")))
+    for (c <- Golden.load("clean_edge.json"))
+      assert(TextClean.cleanPageText(c.get("text").asText()) == c.get("cleaned").asText(),
+        s"clean mismatch for ${c.get("text").asText().flatMap(ch => if (ch < ' ') f"\\x${ch.toInt}%02x" else ch.toString)}")
+    for (c <- Golden.load("paragraphs_edge.json"))
+      assert(Paragraphs.extractParagraphs(c.get("text").asText()) == Golden.strs(c.get("paragraphs")))
+    for (c <- Golden.load("paragraphize_edge.json"))
+      assert(Paragraphs.paragraphize(c.get("text").asText(), c.get("min_len").asInt())
+        == Golden.strs(c.get("paragraphs")))
+    for (c <- Golden.load("sentences_edge.json"))
+      assert(Paragraphs.fallbackSentenceGrouping(c.get("text").asText()) == Golden.strs(c.get("groups")),
+        s"sentence-group mismatch for '${c.get("text").asText().take(60)}'")
+  }
+
   test("live ingest path: doc -> output span sequence (kind,text,media_ref,order)") {
     for (c <- Golden.load("extract_docs.json")) {
       val spans = c.get("spans").elements().asScala.map { s =>
