@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index for embedding similarity — the production ANN shape
+  * (q_ann_ivf shows the one-shot query; this module materializes the index).
+  *
+  * Build: assign every vector to its nearest centroid (inner product) and
+  * write the assignment partitioned by cell — at 100 TB each cell becomes a
+  * parquet partition, so a probe reads only `nprobe/nCells` of the data via
+  * partition pruning.
+  *
+  * Search: score the query against the (tiny, broadcast) centroid set, read
+  * only the top-`nprobe` cells, exact-score the candidates, top-k.
+  *
+  * Deterministic: centroids = the first `nCells` vectors; ties broken by id.
+  */
+object AnnIndex {
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))," +
+      " cast(0.0 as double), (acc, v) -> acc + v)")
+
+  def centroids(embeddings: DataFrame, nCells: Int): DataFrame =
+    embeddings.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+
+  /** Assignment table (vec_id, cell, embedding). */
+  def assign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val cent = centroids(embeddings, nCells)
+    embeddings.crossJoin(broadcast(cent))
+      .withColumn("cdot", dot("embedding", "cvec"))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id").orderBy(desc("cdot"), asc("cell"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+  }
+
+  /** Build and persist, partitioned by cell (partition pruning = probe). */
+  def build(embeddings: DataFrame, indexDir: String, nCells: Int = 16): Unit =
+    assign(embeddings, nCells)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+  /** Probe the persisted index: only `nprobe` cell partitions are scanned. */
+  def search(spark: SparkSession, indexDir: String, embeddings: DataFrame,
+      queryVecId: Long, nCells: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
+    val q = embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
+    val probeCells = centroids(embeddings, nCells).crossJoin(broadcast(q))
+      .withColumn("qdot", dot("cvec", "qvec"))
+      .orderBy(desc("qdot"), asc("cell")).limit(nprobe)
+      .select(col("cell")).collect().map(_.getLong(0))
+    spark.read.parquet(indexDir)
+      .where(col("cell").isin(probeCells: _*)) // partition-pruned scan
+      .crossJoin(broadcast(q))
+      .withColumn("score_exact", dot("embedding", "qvec"))
+      .orderBy(desc("score_exact"), asc("vec_id")).limit(k)
+      .select(col("vec_id"), col("cell"), round(col("score_exact"), 4).as("score"))
+  }
+
+  /** Exact brute-force top-k (recall baseline). */
+  def bruteForce(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    val q = embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
+    embeddings.crossJoin(broadcast(q))
+      .withColumn("score_exact", dot("embedding", "qvec"))
+      .orderBy(desc("score_exact"), asc("vec_id")).limit(k)
+      .select(col("vec_id"), round(col("score_exact"), 4).as("score"))
+  }
+}

@@ -90,6 +90,24 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     },
 
+    // Semi-structured parsing (the reference's JSONL feedback source, S7):
+    // typed extraction from a JSON string column + aggregation on the
+    // extracted field.
+    Op("q_json_props",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_bucket"),
+          col("value"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        .orderBy("k_bucket")
+    },
+
     // Sessionization: lag() gap detection + running session counter — the
     // classic event-pipeline window pattern (gap > 30 min starts a session).
     Op("q_sessionize",
