@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index for embedding similarity — the production ANN shape
@@ -27,14 +26,25 @@ object AnnIndex {
     embeddings.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
 
-  /** Assignment table (vec_id, cell, embedding). */
-  def assign(embeddings: DataFrame, nCells: Int): DataFrame = {
-    val cent = centroids(embeddings, nCells)
-    embeddings.crossJoin(broadcast(cent))
-      .withColumn("cdot", dot("embedding", "cvec"))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id").orderBy(desc("cdot"), asc("cell"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("embedding"))
+  /** Assignment table (vec_id, cell, embedding).
+    *
+    * Nearest-centroid is a map-side fold over ONE broadcast row carrying the
+    * sorted centroid array — max(struct(dot, -cell)) == (dot DESC, cell ASC)
+    * argmax — so the assignment stage is shuffle-free (round-1 fix: the
+    * crossJoin × row_number-over-Window plan shuffled nCells× the table).
+    */
+  def assign(embeddings: DataFrame, nCells: Int): DataFrame =
+    assignTo(embeddings, centroids(embeddings, nCells))
+
+  /** Same, against an explicit centroid table (cell, cvec). */
+  def assignTo(embeddings: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent.agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
+    embeddings.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        "array_max(transform(cents, c -> named_struct('d', " +
+          "aggregate(zip_with(embedding, c.cvec, (x, y) -> cast(x as double) * cast(y as double))," +
+          " cast(0.0 as double), (acc, v) -> acc + v), 'ncell', -c.cell)))"))
+      .select(col("vec_id"), (-col("best.ncell")).as("cell"), col("embedding"))
   }
 
   /** Build and persist, partitioned by cell (partition pruning = probe). */

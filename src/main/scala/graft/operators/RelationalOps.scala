@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * FP discipline: per-row arithmetic stays in double (bit-identical across
   * engines); every multi-row sum is over DECIMAL so partial-aggregation
   * order can't produce cross-engine diffs.
+  *
+  * Output representation (round-1 driver finding): the driver's value-hash
+  * renders DECIMAL scale metadata and TIMESTAMP tz-awareness differently
+  * across its two read paths, so queries must never EMIT decimal/timestamp
+  * columns even when values are equal. Sums stay DECIMAL internally and the
+  * final projection casts to DOUBLE (the decimal sum is identical on both
+  * engines, and decimal→double rounding is correctly-rounded on both, so the
+  * double bits match); timestamps are emitted as formatted strings.
   */
 object RelationalOps {
 
@@ -21,8 +29,8 @@ object RelationalOps {
     Op("q1_agg",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -31,9 +39,9 @@ object RelationalOps {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("bigint").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -43,7 +51,7 @@ object RelationalOps {
     // customers by spend.
     Op("q_join_topk",
       """SELECT c.c_name, n.n_name,
-        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS orders
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -54,7 +62,7 @@ object RelationalOps {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_name"), col("n_name"))
         .agg(
-          sum(col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("orders"))
         .orderBy(desc("revenue"), asc("c_name")).limit(10)
     },
@@ -62,15 +70,16 @@ object RelationalOps {
     // Event-time tumbling window aggregation (batch analog of the
     // Structured Streaming path in graft.streaming).
     Op("q_window_events",
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
         |       CAST(count(*) AS BIGINT) AS events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
         .agg(
           count(lit(1)).as("events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("hour", "event_type")
     },
 
@@ -80,13 +89,13 @@ object RelationalOps {
       """SELECT event_id, user_id,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
-          sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").as("running_value"))
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
         .orderBy("user_id", "event_id")
     },
 
@@ -96,7 +105,7 @@ object RelationalOps {
     Op("q_json_props",
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
@@ -104,7 +113,7 @@ object RelationalOps {
           col("value"))
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("k_bucket")
     },
 
@@ -145,13 +154,13 @@ object RelationalOps {
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
         |       CAST(count(*) AS BIGINT) AS events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))
         |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .rollup(col("event_type"), date_trunc("day", col("ts")).as("d"))
         .agg(count(lit(1)).as("events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(date_format(col("d"), "yyyy-MM-dd"), lit("ALL")).as("day"),
           col("events"), col("total_value"))

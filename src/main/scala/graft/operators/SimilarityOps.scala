@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embedding column.
@@ -72,20 +71,24 @@ object SimilarityOps {
       val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
 
-      val assign = e.crossJoin(broadcast(cent))
-        .withColumn("cdot", expr(dotAB("embedding", "cvec")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("cdot"), asc("cid"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
+      // Map-side argmax: the centroid set collapses to ONE broadcast row
+      // holding a sorted array, and nearest-centroid is a codegen'd fold per
+      // vector — no explode, no shuffle, no self-join (round-1 fix: the
+      // previous crossJoin × row_number-over-Window plan shuffled 8× the
+      // table and then joined the assignment back to the full table).
+      // max(struct(dot, -cid)) == (dot DESC, cid ASC) argmax.
+      val centArr = cent.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+      val withCell = e.crossJoin(broadcast(centArr))
+        .withColumn("best", expr(
+          s"array_max(transform(cents, c -> named_struct('d', ${dotAB("embedding", "c.cvec")}, 'ncid', -c.cid)))"))
+        .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
 
       val probes = cent.crossJoin(broadcast(q))
         .withColumn("qdot", expr(dotAB("cvec", "qvec")))
-        .withColumn("rn", row_number().over(Window.orderBy(desc("qdot"), asc("cid"))))
-        .where(col("rn") <= 2)
+        .orderBy(desc("qdot"), asc("cid")).limit(2)
         .select(col("cid"))
 
-      e.join(assign, "vec_id")
+      withCell
         .join(broadcast(probes), "cid")
         .crossJoin(broadcast(q))
         .withColumn("score_exact", expr(dotAB("embedding", "qvec")))
