@@ -173,34 +173,45 @@ object HtmlExtract {
     out.result()
   }
 
-  /** Pull a (quoted or bare) attribute value out of raw tag innards. */
+  /** Pull a (quoted or bare) attribute value out of raw tag innards.
+    *
+    * Proper left-to-right attribute tokenizer (round-1 fix): only an
+    * attribute whose FULL name token equals `name` matches, so
+    * `<img data-src='x'>` does not satisfy attr(_, "src"), and a `src=`
+    * occurring inside another attribute's quoted value is skipped because
+    * quoted values are consumed as units while scanning.
+    */
   private def attr(tagInner: String, name: String): Option[String] = {
-    val lower = tagInner.toLowerCase(java.util.Locale.ROOT)
-    var from = 0
-    while (true) {
-      val at = lower.indexOf(name, from)
-      if (at < 0) return None
-      val after = at + name.length
-      val eq = {
-        var j = after
-        while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
-        if (j < tagInner.length && tagInner.charAt(j) == '=') j else -1
+    val n = tagInner.length
+    var i = 0
+    var first = true // first token is the tag name, never an attribute
+    while (i < n) {
+      while (i < n && tagInner.charAt(i).isWhitespace) i += 1
+      if (i >= n) return None
+      // attribute-name token: up to whitespace or '='
+      val start = i
+      while (i < n && !tagInner.charAt(i).isWhitespace && tagInner.charAt(i) != '=') i += 1
+      val tok = tagInner.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < n && tagInner.charAt(i).isWhitespace) i += 1
+      var value: Option[String] = None
+      if (i < n && tagInner.charAt(i) == '=') {
+        i += 1
+        while (i < n && tagInner.charAt(i).isWhitespace) i += 1
+        if (i < n) {
+          val q = tagInner.charAt(i)
+          if (q == '"' || q == '\'') {
+            val end = tagInner.indexOf(q, i + 1)
+            if (end < 0) { value = Some(tagInner.substring(i + 1)); i = n }
+            else { value = Some(tagInner.substring(i + 1, end)); i = end + 1 }
+          } else {
+            val s2 = i
+            while (i < n && !tagInner.charAt(i).isWhitespace) i += 1
+            value = Some(tagInner.substring(s2, i).stripSuffix("/"))
+          }
+        } else value = Some("")
       }
-      val boundaryOk = at == 0 || !lower.charAt(at - 1).isLetterOrDigit
-      if (eq >= 0 && boundaryOk) {
-        var j = eq + 1
-        while (j < tagInner.length && tagInner.charAt(j).isWhitespace) j += 1
-        if (j >= tagInner.length) return None
-        val q = tagInner.charAt(j)
-        if (q == '"' || q == '\'') {
-          val end = tagInner.indexOf(q, j + 1)
-          return Some(if (end < 0) tagInner.substring(j + 1) else tagInner.substring(j + 1, end))
-        }
-        val end0 = tagInner.indexWhere(_.isWhitespace, j)
-        val end = if (end0 < 0) tagInner.length else end0
-        return Some(tagInner.substring(j, end).stripSuffix("/"))
-      }
-      from = at + 1
+      if (!first && tok == name && value.exists(_.nonEmpty)) return value
+      first = false
     }
     None
   }

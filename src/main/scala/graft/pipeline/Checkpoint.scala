@@ -61,11 +61,20 @@ object Checkpoint {
 
     for (g <- todo) {
       val slice = withGrp.filter($"grp" === g).select($"doc_id", $"spans").as[Doc]
-      val (spans, lineage) = ExtractJob.extractWithLineage(slice, cfg)
+      // Cached tagged stage: the spans write and the lineage write are two
+      // actions over the same kernel output — without the persist each group
+      // would be extracted twice.
+      val (spans, lineage, unpersist) = ExtractJob.extractWithLineageCached(slice, cfg)
       spans.toDF().withColumn("grp", lit(g))
         .write.mode(SaveMode.Overwrite).partitionBy("grp").parquet(spansDir(outDir))
-      lineage.toDF().withColumn("grp", lit(g))
+      // The lineage append IS the commit marker, so it must be non-empty even
+      // for a zero-doc group: a synthetic partition_id=-1 marker row makes
+      // empty groups durably "done" (otherwise every resume re-runs them).
+      val marker = spark.createDataset(Seq(
+        graft.model.Lineage(-1, 0L, 0L, 0L, "marker")))
+      lineage.union(marker).toDF().withColumn("grp", lit(g))
         .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+      unpersist()
     }
     todo.size
   }

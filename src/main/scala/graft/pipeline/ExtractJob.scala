@@ -121,6 +121,17 @@ object ExtractJob {
     */
   def extractWithLineage(docs: Dataset[Doc], cfg: Config = Config())
       : (Dataset[Doc], Dataset[Lineage]) = {
+    val (spans, lineage, _) = extractWithLineageCached(docs, cfg, cache = false)
+    (spans, lineage)
+  }
+
+  /** Like extractWithLineage, but persists the shared tagged stage so that a
+    * caller running TWO actions (spans write + lineage write, as Checkpoint
+    * does per group) executes the kernel ONCE, not twice. The returned
+    * thunk unpersists — call it after the second action commits.
+    */
+  def extractWithLineageCached(docs: Dataset[Doc], cfg: Config = Config(), cache: Boolean = true)
+      : (Dataset[Doc], Dataset[Lineage], () => Unit) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val mode = cfg.mode
@@ -134,13 +145,16 @@ object ExtractJob {
       .select($"doc_id", $"spans").as[Doc]
 
     // (doc, partition_id, failed) — failures yield an empty doc + flag.
-    val tagged = repart.mapPartitions { it =>
+    val tagged0 = repart.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       it.map { d =>
         try (Extract.extractDoc(d, mode), pid, false)
         catch { case scala.util.control.NonFatal(_) => (Doc(d.doc_id, Nil), pid, true) }
       }
     }
+    val tagged =
+      if (cache) tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tagged0
     val spans = tagged.map(_._1)
     val lineage = tagged.toDF("doc", "partition_id", "failed")
       .groupBy($"partition_id")
@@ -152,6 +166,6 @@ object ExtractJob {
       .select($"partition_id".cast("int"), $"docs_parsed", $"spans_emitted",
         $"parse_failures", $"status")
       .as[Lineage]
-    (spans, lineage)
+    (spans, lineage, () => { tagged.unpersist(); () })
   }
 }

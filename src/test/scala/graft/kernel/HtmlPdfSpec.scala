@@ -45,6 +45,18 @@ class HtmlPdfSpec extends AnyFunSuite {
     assert(blocks.contains(MediaRef("pic.png")))
   }
 
+  test("html: attr matches only a whole attribute token, skipping quoted values") {
+    // data-src must NOT satisfy src; the real src wins
+    assert(extractBlocks("<img data-src='lazy.png' src='real.png'>").contains(MediaRef("real.png")))
+    // no real src attribute at all -> no media ref
+    assert(!extractBlocks("<img data-src='lazy.png'>").exists { case MediaRef(_) => true; case _ => false })
+    // 'src=' inside ANOTHER attribute's quoted value is not an attribute
+    assert(extractBlocks("<img alt='use src=fake.png here' src=\"true.png\">").contains(MediaRef("true.png")))
+    assert(!extractBlocks("<img alt='src=fake.png'>").exists { case MediaRef(_) => true; case _ => false })
+    // bare (unquoted) value and self-closing slash still parse
+    assert(extractBlocks("<img src=bare.png/>").contains(MediaRef("bare.png")))
+  }
+
   test("html: malformed input never throws (truncated tags, stray <, bad nesting)") {
     for (bad <- Seq("<p>unclosed", "a < b text", "<div><p>x</div></p>", "<", "<!woo>", "<!-- open comment",
         "<a href=>empty</a>", "<img src=>", "<p attr='unterminated>text")) {

@@ -119,6 +119,19 @@ class PipelineSpec extends SparkTestBase {
     assert(row.getAs[Long]("spans") > 500L)
   }
 
+  test("resume: empty groups are durably marked done (marker row commits them)") {
+    // 1 doc across 8 groups -> 7 empty groups; without the lineage marker row
+    // every resume would re-run the empties forever.
+    val one = DocSynth.docs(spark, sfDir).limit(1)
+    val dir = Files.createTempDirectory("graft-resume-empty").toString
+    assert(Checkpoint.runResumable(one, dir, numGroups = 8) == 8)
+    assert(Checkpoint.runResumable(one, dir, numGroups = 8) == 0) // nothing re-runs
+    assert(Checkpoint.readLineage(spark, dir).select("grp").distinct().count() == 8)
+    // real metrics are unaffected by markers
+    val real = Checkpoint.readLineage(spark, dir).where($"status" === "complete")
+    assert(real.agg(org.apache.spark.sql.functions.sum($"docs_parsed")).head.getLong(0) == 1L)
+  }
+
   test("resume: kill after 3 groups -> re-run converges to single-shot output") {
     val docs = DocSynth.docs(spark, sfDir)
     val dirA = Files.createTempDirectory("graft-resume-a").toString
