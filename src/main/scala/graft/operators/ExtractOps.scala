@@ -164,32 +164,143 @@ object ExtractOps {
         .orderBy("o_orderkey")
     },
 
-    // C7 extract_paragraphs (sequential fold — typed kernel, rows-only check;
-    // exact semantics guarded by the reference-generated goldens in
-    // KernelGoldenSpec instead of a SQL oracle).
-    Op.rowsOnly("q_paragraphs") { (s, dir) =>
+    // C7 extract_paragraphs — Spark side is the typed kernel fold (also
+    // golden-tested); the DuckDB oracle re-expresses BOTH branches in SQL:
+    // the blank-line branch as split/strip/filter, and the greedy sentence-
+    // grouping fold via list_reduce over a sentinel-encoded (emitted, buf)
+    // state string (chr(3) joins emitted paragraphs, chr(4) separates state
+    // fields, chr(2) marks sentence boundaries — none occur in the data).
+    Op("q_paragraphs", ParagraphOracles.extractParagraphsSql) { (s, dir) =>
       import s.implicits._
       Tables.documents(s, dir)
         .select(col("doc_id").cast("string").as("doc_id"), expr(structureSpark).as("structured"))
         .as[(String, String)]
         .flatMap { case (id, t) =>
-          Paragraphs.extractParagraphs(t).zipWithIndex.map { case (p, i) => (id, i, p) }
+          Paragraphs.extractParagraphs(t).zipWithIndex.map { case (p, i) => (id, i.toLong, p) }
         }
         .toDF("doc_id", "paragraph_index", "paragraph")
         .orderBy("doc_id", "paragraph_index")
     },
 
-    // C8 paragraphize (merge-short fold — typed kernel, rows-only).
-    Op.rowsOnly("q_paragraphize") { (s, dir) =>
+    // C8 paragraphize — merge-short fold; oracle is the same list_reduce
+    // trick (merge-into-previous == append-to-accumulator-tail, because the
+    // previous paragraph is always the tail of the folded state string).
+    Op("q_paragraphize", ParagraphOracles.paragraphizeSql) { (s, dir) =>
       import s.implicits._
       Tables.documents(s, dir)
         .select(col("doc_id").cast("string").as("doc_id"), expr(structureSpark).as("structured"))
         .as[(String, String)]
         .flatMap { case (id, t) =>
-          Paragraphs.paragraphize(t).zipWithIndex.map { case (p, i) => (id, i, p) }
+          Paragraphs.paragraphize(t).zipWithIndex.map { case (p, i) => (id, i.toLong, p) }
         }
         .toDF("doc_id", "paragraph_index", "paragraph")
         .orderBy("doc_id", "paragraph_index")
     }
   )
+}
+
+/** DuckDB re-expressions of the sequential paragraph folds (C7/C8), so the
+  * driver can fully oracle them instead of a weaker rows-only check.
+  *
+  * Fold-as-SQL technique: the kernel's sequential state is encoded into one
+  * string accumulator — `emitted ++ chr(4) ++ buf`, with emitted paragraphs
+  * joined by chr(3) — and list_reduce applies the exact per-element rule.
+  * RE2 has no lookarounds, so the Python sentence boundary
+  * `(?<=[.!?])\s+(?=[A-Z])` becomes a consuming sentinel rewrite (the char
+  * classes are disjoint, so non-overlapping consumption is equivalent).
+  */
+private[operators] object ParagraphOracles {
+
+  private val structureDuck =
+    """replace(replace(replace(replace(text,
+      |  ' merge ', '-' || chr(10) || 'merge '),
+      |  ' data ', ' ' || chr(10) || chr(10) || 'data '),
+      |  ' join ', ' ' || chr(13) || chr(10) || 'join '),
+      |  ' the ', ' ' || repeat(chr(10), 4) || 'the ')""".stripMargin
+
+  /** `_clean_page_text` over an arbitrary input expression (RE2 sentinel
+    * variant of ExtractOps.cleanDuck).
+    */
+  private def cleanOf(inner: String) =
+    s"""trim(
+       |  regexp_replace(
+       |    replace(replace(replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          replace($inner, chr(13), chr(10)),
+       |          '(\\w)-\\n(\\w)', '\\1\\2', 'g'),
+       |        '\\n{3,}', chr(10) || chr(10), 'g'),
+       |      chr(10) || chr(10), chr(1)), chr(10), ' '), chr(1), chr(10) || chr(10)),
+       |    '[ \\t]+', ' ', 'g'),
+       |  ' ' || chr(10))""".stripMargin
+
+  /** Python str.strip() character set. */
+  private val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+  /** paragraphize candidate: lines normalized+joined == \n→space, collapse
+    * space runs, Python-strip.
+    */
+  private def normPara(p: String) =
+    s"trim(regexp_replace(replace($p, chr(10), ' '), '[ \\t]+', ' ', 'g'), $ws)"
+
+  val paragraphizeSql: String =
+    s"""WITH s AS (SELECT doc_id, $structureDuck AS raw FROM documents),
+       |c AS (SELECT doc_id,
+       |  list_filter(
+       |    list_transform(
+       |      regexp_split_to_array(replace(raw, chr(13), ''), '\\n\\s*\\n+'),
+       |      p -> ${normPara("p")}),
+       |    x -> x <> '') AS cs
+       |  FROM s),
+       |folded AS (SELECT doc_id,
+       |  CASE WHEN len(cs) = 0 THEN []::VARCHAR[]
+       |       ELSE str_split(list_reduce(cs, (acc, x) ->
+       |         CASE WHEN length(x) < 20 THEN acc || ' ' || x
+       |              ELSE acc || chr(2) || x END), chr(2))
+       |  END AS paras FROM c)
+       |SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(g.i - 1 AS BIGINT) AS paragraph_index,
+       |       paras[g.i] AS paragraph
+       |FROM folded, LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
+       |ORDER BY doc_id, paragraph_index""".stripMargin
+
+  val extractParagraphsSql: String = {
+    // blank-line branch over the CLEANED text (branch test is on RAW)
+    val blank =
+      s"list_filter(list_transform(str_split(cleaned, chr(10) || chr(10)), p -> trim(p, $ws)), x -> x <> '')"
+    // sentence split: consuming sentinel stand-in for the lookaround split
+    val sents =
+      s"""list_filter(list_transform(
+         |  str_split(regexp_replace(cleaned, '([.!?])(\\s+)([A-Z])', '\\1' || chr(2) || '\\3', 'g'), chr(2)),
+         |  t -> trim(t, $ws)), x -> x <> '')""".stripMargin
+    // greedy 600/80 grouping fold (extract_paragraphs.py:27-48)
+    val newbuf = "(CASE WHEN split_part(acc, chr(4), 2) = '' THEN s ELSE split_part(acc, chr(4), 2) || ' ' || s END)"
+    val emitted = "split_part(acc, chr(4), 1)"
+    val append = s"(CASE WHEN $emitted = '' THEN $newbuf ELSE $emitted || chr(3) || $newbuf END)"
+    val lambda =
+      s"""(acc, s) -> CASE
+         |  WHEN length($newbuf) + 1 >= 600 THEN
+         |    (CASE WHEN length($newbuf) >= 80 THEN $append ELSE $emitted END) || chr(4)
+         |  ELSE $emitted || chr(4) || $newbuf END""".stripMargin
+    val finalFlush =
+      s"""(CASE WHEN split_part(st, chr(4), 2) <> '' AND length(split_part(st, chr(4), 2)) >= 80
+         |  THEN (CASE WHEN split_part(st, chr(4), 1) = '' THEN split_part(st, chr(4), 2)
+         |        ELSE split_part(st, chr(4), 1) || chr(3) || split_part(st, chr(4), 2) END)
+         |  ELSE split_part(st, chr(4), 1) END)""".stripMargin
+    s"""WITH s AS (SELECT doc_id, $structureDuck AS raw FROM documents),
+       |c AS (SELECT doc_id, raw, ${cleanOf("raw")} AS cleaned FROM s),
+       |branched AS (SELECT doc_id,
+       |  CASE WHEN trim(raw, $ws) = '' THEN []::VARCHAR[]
+       |       WHEN contains(raw, chr(10) || chr(10)) THEN $blank
+       |       ELSE (
+       |         SELECT list_filter(str_split($finalFlush, chr(3)), x -> x <> '')
+       |         FROM (SELECT CASE WHEN len($sents) = 0 THEN chr(4)
+       |                    ELSE list_reduce(list_prepend(chr(4), $sents), $lambda) END AS st) z
+       |       ) END AS paras0
+       |  FROM c),
+       |final AS (SELECT doc_id, list_filter(paras0, p -> length(p) >= 80) AS paras FROM branched)
+       |SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(g.i - 1 AS BIGINT) AS paragraph_index,
+       |       paras[g.i] AS paragraph
+       |FROM final, LATERAL (SELECT unnest(generate_series(1, len(paras))) AS i) g
+       |ORDER BY doc_id, paragraph_index""".stripMargin
+  }
 }
