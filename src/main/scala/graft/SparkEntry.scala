@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val allOps: Seq[Op] =
-    ExtractOps.ops ++ RetrievalOps.ops ++ EvalOps.ops ++ RelationalOps.ops ++
-      DedupOps.ops ++ SimilarityOps.ops ++ TextAnalysisOps.ops ++ MultimodalOps.ops
+    ExtractOps.ops ++ RetrievalOps.ops ++ EvalOps.ops ++ FeedbackOps.ops ++
+      RelationalOps.ops ++ DedupOps.ops ++ SimilarityOps.ops ++
+      TextAnalysisOps.ops ++ MultimodalOps.ops
 
   /** Flagship: the full extraction pipeline (synthesize interleaved docs →
     * salted repartition → kernel → spans), exploded to one row per output

@@ -146,6 +146,41 @@ object ExtractOps {
         .orderBy("doc_id", "meta_key")
     },
 
+    // T10 list-valued metadata flatten (vector_store.py:53-55): list values
+    // keep only items not in (None, ''), stringify each, and an all-empty
+    // list drops the key entirely — here emitted one row per surviving item
+    // with its position, so order preservation is value-checked too.
+    Op("q_meta_flatten_list",
+      """SELECT doc_id, 'meta_tags' AS meta_key,
+        |       CAST(g.i - 1 AS BIGINT) AS item_index, tags[g.i] AS meta_value
+        |FROM (
+        |  SELECT doc_id, list_filter([
+        |      CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END,
+        |      CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'v' || CAST(doc_id AS VARCHAR) END,
+        |      CASE WHEN doc_id % 7 = 0 THEN '' ELSE lower(lang) END,
+        |      CAST(doc_id % 10 AS VARCHAR)
+        |    ], x -> x IS NOT NULL AND x <> '') AS tags
+        |  FROM documents)
+        |, LATERAL (SELECT unnest(generate_series(1, len(tags))) AS i) g
+        |WHERE len(tags) > 0
+        |ORDER BY doc_id, item_index""".stripMargin) { (s, dir) =>
+      val withList = Tables.documents(s, dir).select(col("doc_id"),
+        array(
+          when(col("doc_id") % 7 === 0, lit(null: String)).otherwise(col("source")),
+          when(col("doc_id") % 3 === 0, lit("")).otherwise(concat(lit("v"), col("doc_id").cast("string"))),
+          when(col("doc_id") % 7 === 0, lit("")).otherwise(lower(col("lang"))),
+          (col("doc_id") % 10).cast("string")
+        ).as("tags0"))
+      withList
+        .select(col("doc_id"), expr("filter(tags0, x -> x IS NOT NULL AND x <> '')").as("tags"))
+        .where(size(col("tags")) > 0)
+        .select(col("doc_id"), lit("meta_tags").as("meta_key"),
+          posexplode(col("tags")).as(Seq("item_index", "meta_value")))
+        .select(col("doc_id"), col("meta_key"),
+          col("item_index").cast("bigint").as("item_index"), col("meta_value"))
+        .orderBy("doc_id", "item_index")
+    },
+
     // T7 normalize_date (normalizer.py:17-23): ISO on parse success, original
     // on failure. Good input from o_orderdate; o_orderpriority as malformed.
     Op("q_date_normalize",

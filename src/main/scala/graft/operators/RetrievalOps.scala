@@ -139,6 +139,45 @@ object RetrievalOps {
         .select(col("id"), col("dense_score"), col("rerank_score")).limit(5)
     },
 
+    // R6 exact positional remap (app.py:191-207): the reranker returns
+    // (index, score) pairs where index points INTO the ordered candidate
+    // list, and results re-join the originals BY POSITION, not by id. The
+    // candidate list is materialized as one ordered array, posexplode
+    // assigns the positional index, the "reranker" output carries ONLY
+    // (idx, rerank_score), and the remap is an equi-join on idx.
+    Op("q_rerank_remap",
+      s"""WITH cands AS (
+         |  SELECT id, dense_score, rn - 1 AS idx FROM (
+         |    SELECT e.vec_id AS id, round($duckDot, 4) AS dense_score,
+         |           row_number() OVER (ORDER BY $duckDot DESC, e.vec_id) AS rn
+         |    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+         |  WHERE rn <= 20),
+         |rr AS (
+         |  SELECT c.idx,
+         |    ${qTokens.map(t => s"(CASE WHEN contains(substring(d.text, 1, 256), '$t') THEN 1 ELSE 0 END)").mkString(" + ")} AS rerank_score
+         |  FROM cands c JOIN documents d ON d.doc_id = c.id)
+         |SELECT c.idx, c.id, c.dense_score, r.rerank_score
+         |FROM cands c JOIN rr r ON r.idx = c.idx
+         |ORDER BY r.rerank_score DESC, c.idx LIMIT 5""".stripMargin) { (s, dir) =>
+      val top = denseScores(s, dir).orderBy(desc("score_exact"), asc("vec_id")).limit(20)
+      // ordered candidate array (sort key = exact score desc via negation)
+      val candArr = top.agg(expr(
+        "array_sort(collect_list(named_struct('ns', -score_exact, 'id', vec_id," +
+          " 'dense_score', round(score_exact, 4))))").as("arr"))
+      val pos = candArr.select(posexplode(col("arr")).as(Seq("idx", "c")))
+        .select(col("idx").cast("bigint").as("idx"), col("c.id").as("id"),
+          col("c.dense_score").as("dense_score"))
+      // the reranker sees positions + text only, and returns (idx, score)
+      val rr = Tables.documents(s, dir)
+        .join(broadcast(pos.select(col("idx"), col("id"))), col("doc_id") === col("id"))
+        .select(col("idx"),
+          qTokens.map(t => when(col("text").substr(1, 256).contains(t), 1).otherwise(0))
+            .reduce[Column](_ + _).cast("int").as("rerank_score"))
+      pos.join(rr, "idx") // positional remap — id plays no part in the join
+        .orderBy(desc("rerank_score"), asc("idx")).limit(5)
+        .select(col("idx"), col("id"), col("dense_score"), col("rerank_score"))
+    },
+
     // R8 context assembly with greedy char budget (app.py:50-67): per-chunk
     // 500-char truncate, "--- Chunk i ---" headers, running-sum window,
     // keep the maximal prefix with cumulative length <= 4000 (the reference's

@@ -18,7 +18,7 @@ class EntrySpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys missing from queries: ${o diff q}")
     val rowsOnly = q diff o
-    assert(rowsOnly == Set("q_paragraphs", "q_paragraphize"), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only: $rowsOnly") // every query is fully oracled
   }
 
   test("every query runs non-empty on sf0.001") {
