@@ -130,6 +130,91 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // SimHash banded ALL-PAIRS near-dup detection — the at-scale path the
+    // neighbor-pair q_simhash demo lacks: 60-bit shingle-level signatures
+    // split into 6 × 10-bit bands; docs sharing any band value become
+    // candidates via an equi-join (never an all-pairs product), then exact
+    // hamming ≤ 5 verifies. Pigeonhole guarantee: hamming ≤ 5 < 6 bands
+    // means at least one band is untouched, so recall over the threshold
+    // set is 100% — banding loses nothing, it only prunes.
+    Op("q_simhash_pairs",
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         |      CASE WHEN 2 * len(list_filter(hashes, h -> ((h >> b) & 1) = 1)) >= len(hashes)
+         |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, list_transform(list_distinct($shinglesDuck), t -> ${h60Duck("t")}) AS hashes
+         |        FROM documents WHERE len($toksDuck) >= 3)),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band, (simhash >> (10 * b.band)) & 1023 AS bval
+         |  FROM sh, LATERAL (SELECT unnest(generate_series(0, 5)) AS band) b)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) >= 3"))
+        .select(col("doc_id"),
+          expr(s"transform(array_distinct($shinglesFromToks), t -> ${h60Spark("t")})").as("hashes"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) ->
+            |  acc + if(2 * size(filter(hashes, h -> shiftright(h, b) % 2 = 1)) >= size(hashes),
+            |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        posexplode(expr("transform(sequence(0, 5), b -> shiftright(simhash, 10 * b) & 1023)"))
+          .as(Seq("band", "bval")))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hamming"))
+        .where(col("hamming") <= 5)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // True windowed winnowing (the q_fingerprint upgrade): per document,
+    // hash every 3-gram shingle, slide a w=8 window over the hash sequence,
+    // select each window's minimum (ties -> rightmost, the Schleimer/
+    // Wilkerson/Aiken rule), and emit the distinct (position, hash) set.
+    // Guarantees a fingerprint in every w-window, so any shared run of
+    // w + k - 1 tokens between two docs shares a fingerprint. Map-only.
+    Op("q_winnow",
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform($shinglesDuck, s -> ${h60Duck("s")}) AS h
+         |  FROM documents WHERE len($toksDuck) >= 3),
+         |wins AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(h) - 8 + 1, 1)), s ->
+         |      struct_pack(
+         |        pos := s - 1 + list_max(list_filter(generate_series(0, least(8, len(h)) - 1),
+         |                 j -> h[s + j] = list_min(h[s : least(s + 7, len(h))]))),
+         |        fp  := list_min(h[s : least(s + 7, len(h))]))) AS fps
+         |  FROM hs)
+         |SELECT DISTINCT doc_id, CAST(u.f.pos AS BIGINT) AS pos, u.f.fp AS fp
+         |FROM (SELECT doc_id, unnest(fps) AS f FROM wins) u(doc_id, f)
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      val hs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) >= 3"))
+        .select(col("doc_id"),
+          expr(s"transform($shinglesFromToks, s -> ${h60Spark("s")})").as("h"))
+      // rightmost-min via max(struct(-hash, offset)); slice() clamps at the end
+      val wins = hs.select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(size(h) - 8 + 1, 1)), s ->
+          |  aggregate(sequence(0, size(slice(h, s, 8)) - 1),
+          |    named_struct('nh', cast(-4611686018427387904 as bigint), 'j', -1),
+          |    (acc, j) -> if(-element_at(h, s + j) > acc.nh or (-element_at(h, s + j) = acc.nh and j > acc.j),
+          |                   named_struct('nh', -element_at(h, s + j), 'j', j), acc),
+          |    m -> named_struct('pos', s - 1 + m.j, 'fp', -m.nh)))""".stripMargin).as("fps"))
+      wins.select(col("doc_id"), explode(col("fps")).as("f"))
+        .select(col("doc_id"), col("f.pos").cast("bigint").as("pos"), col("f.fp").as("fp"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    },
+
     // End-to-end near-dup pipeline: MinHash/LSH candidate generation →
     // exact n-gram-Jaccard verification (≥ 0.5) → min-id keeper per dup.
     // This is the at-scale shape: the quadratic step only ever touches the
