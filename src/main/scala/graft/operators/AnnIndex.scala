@@ -47,16 +47,44 @@ object AnnIndex {
       .select(col("vec_id"), (-col("best.ncell")).as("cell"), col("embedding"))
   }
 
-  /** Build and persist, partitioned by cell (partition pruning = probe). */
-  def build(embeddings: DataFrame, indexDir: String, nCells: Int = 16): Unit =
-    assign(embeddings, nCells)
+  /** One Lloyd step: element-wise mean of each cell's members becomes the
+    * new centroid. Distributed via posexplode to (cell, dim) keyed rows —
+    * partial aggregation combines map-side, so the shuffle carries at most
+    * nCells × dim partial sums per task regardless of table size. Index
+    * build is an offline job; this is its only shuffle.
+    */
+  def lloydStep(embeddings: DataFrame, cent: DataFrame): DataFrame =
+    assignTo(embeddings, cent)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(named_struct('dim', dim, 'm', m)))," +
+        " x -> cast(x.m as float))").as("cvec"))
+
+  /** Seeded with the first `nCells` vectors, refined by `iters` Lloyd steps. */
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame =
+    (1 to iters).foldLeft(centroids(embeddings, nCells))((c, _) => lloydStep(embeddings, c))
+
+  private def centroidsDir(indexDir: String) = s"$indexDir/_centroids"
+
+  /** Build and persist, partitioned by cell (partition pruning = probe).
+    * The centroid table ships WITH the index (underscore-prefixed dir, so
+    * parquet readers of the cells skip it) — probes must use the exact
+    * centroids the cells were assigned under, not a re-derivation.
+    */
+  def build(embeddings: DataFrame, indexDir: String, nCells: Int = 16,
+      refineIters: Int = 0): Unit = {
+    val cent = kmeansCentroids(embeddings, nCells, refineIters)
+    assignTo(embeddings, cent)
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    cent.write.mode("overwrite").parquet(centroidsDir(indexDir))
+  }
 
   /** Probe the persisted index: only `nprobe` cell partitions are scanned. */
   def search(spark: SparkSession, indexDir: String, embeddings: DataFrame,
       queryVecId: Long, nCells: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
     val q = embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
-    val probeCells = centroids(embeddings, nCells).crossJoin(broadcast(q))
+    val probeCells = spark.read.parquet(centroidsDir(indexDir)).crossJoin(broadcast(q))
       .withColumn("qdot", dot("cvec", "qvec"))
       .orderBy(desc("qdot"), asc("cell")).limit(nprobe)
       .select(col("cell")).collect().map(_.getLong(0))

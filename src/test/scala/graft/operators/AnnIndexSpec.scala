@@ -38,4 +38,39 @@ class AnnIndexSpec extends SparkTestBase {
     val plan = AnnIndex.search(spark, dir, emb, 0, 16, 4, 10).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
   }
+
+  test("k-means refined IVF: index stays complete, probes use persisted centroids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dirs = Seq(0, 2).map { iters =>
+      val d = Files.createTempDirectory(s"graft-ann-km$iters").toString + "/index"
+      AnnIndex.build(emb, d, nCells = 16, refineIters = iters)
+      d
+    }
+    val Seq(seedDir, refinedDir) = dirs
+    // refinement never loses or duplicates vectors
+    val idx = spark.read.parquet(refinedDir)
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+
+    // full probe reproduces brute force regardless of the centroid set
+    val brute = AnnIndex.bruteForce(emb, 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullRefined = AnnIndex.search(spark, refinedDir, emb, 0, 16, nprobe = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(fullRefined == brute)
+
+    // Lloyd keeps cells balanced (these gaussian vectors seed fairly evenly
+    // already, so assert no WORSE than mild skew rather than strict gain)
+    def maxCell(d: String) =
+      spark.read.parquet(d).groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    val (seedMax, refinedMax) = (maxCell(seedDir), maxCell(refinedDir))
+    info(s"largest cell: seeded=$seedMax refined=$refinedMax")
+    assert(refinedMax <= (seedMax * 1.25).toLong + 1)
+
+    def recall(d: String) =
+      AnnIndex.search(spark, d, emb, 0, 16, nprobe = 4, k = 10)
+        .collect().map(_.getLong(0)).toSet.intersect(brute.map(_._1).toSet).size / 10.0
+    info(s"recall@10 nprobe=4: seeded=${recall(seedDir)} refined=${recall(refinedDir)}")
+  }
 }
