@@ -69,12 +69,17 @@ object Bench {
     val (nDocs, chunkSec, semSec) = extractionBench(spark, sfDir)
     val docsPerSec = nDocs / math.max(chunkSec, 1e-9)
     val semDocsPerSec = nDocs / math.max(semSec, 1e-9)
-    // sustained throughput: replicated corpus large enough that fixed job
-    // overhead (~0.5s) is amortized — the number that extrapolates to a
-    // long-running 100 TB job.
-    val repl = 200
-    val sustainedSec = timeSec(force(ExtractJob.extractFromRaw(spark, sfDir, repl,
-      ExtractJob.Config(mode = graft.kernel.ExtractMode.SemanticMode)).toDF()))
+    // sustained throughput: replicated corpus large enough that fixed cost
+    // (~3s of JIT + codegen + shuffle machinery on the FIRST full-size run)
+    // is amortized — the number that extrapolates to a long-running 100 TB
+    // job. Round-1 lesson: single-shot at repl=200 measured the fixed cost,
+    // not the pipeline (82k/s reported vs 1.85M/s steady-state). min-of-3
+    // also rides out this VM's 5-20x co-tenant spikes.
+    val repl = sys.env.getOrElse("SPARK_GRAFT_SUSTAINED_REPL", "1200").toInt
+    val sustainedSec = (1 to 3).map { _ =>
+      timeSec(force(ExtractJob.extractFromRaw(spark, sfDir, repl,
+        ExtractJob.Config(mode = graft.kernel.ExtractMode.SemanticMode)).toDF()))
+    }.min
     val sustained = nDocs * repl / math.max(sustainedSec, 1e-9)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -153,7 +153,7 @@ object DedupOps {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val sh = Tables.documents(s, dir)
+      val sh0 = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
         .select(col("doc_id"),
@@ -162,6 +162,13 @@ object DedupOps {
           """aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) ->
             |  acc + if(2 * size(filter(hashes, h -> shiftright(h, b) % 2 = 1)) >= size(hashes),
             |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+      // MATERIALIZE the signature table behind an Aggregate barrier: without
+      // it, predicate pushdown substitutes the hamming filter's `simhash`
+      // references with the full md5 fold and re-evaluates BOTH signatures
+      // per candidate pair (measured: minutes instead of seconds at sf0.1).
+      // At 100 TB this narrow (doc_id, simhash) exchange IS the signature
+      // table you'd persist before the banding join anyway.
+      val sh = sh0.groupBy(col("doc_id")).agg(first(col("simhash")).as("simhash"))
       val bands = sh.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 5), b -> shiftright(simhash, 10 * b) & 1023)"))
           .as(Seq("band", "bval")))
@@ -196,21 +203,28 @@ object DedupOps {
          |SELECT DISTINCT doc_id, CAST(u.f.pos AS BIGINT) AS pos, u.f.fp AS fp
          |FROM (SELECT doc_id, unnest(fps) AS f FROM wins) u(doc_id, f)
          |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
-      val hs = Tables.documents(s, dir)
+      // Relational winnowing — the 100 TB shape: posexplode the shingle
+      // hashes to (doc_id, pos, h) rows (the Generate node is also a hard
+      // barrier against projection collapse re-inlining the md5 chain into
+      // downstream lambdas — the nested-fold variant of this query ran
+      // interpreted at O(windows × |doc|) md5 recomputations), then one
+      // doc_id-partitioned forward window: min(struct(h, -pos)) gives each
+      // window's minimum with the rightmost-tie rule in a single pass.
+      import org.apache.spark.sql.expressions.Window
+      val rows = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
         .select(col("doc_id"),
-          expr(s"transform($shinglesFromToks, s -> ${h60Spark("s")})").as("h"))
-      // rightmost-min via max(struct(-hash, offset)); slice() clamps at the end
-      val wins = hs.select(col("doc_id"), expr(
-        """transform(sequence(1, greatest(size(h) - 8 + 1, 1)), s ->
-          |  aggregate(sequence(0, size(slice(h, s, 8)) - 1),
-          |    named_struct('nh', cast(-4611686018427387904 as bigint), 'j', -1),
-          |    (acc, j) -> if(-element_at(h, s + j) > acc.nh or (-element_at(h, s + j) = acc.nh and j > acc.j),
-          |                   named_struct('nh', -element_at(h, s + j), 'j', j), acc),
-          |    m -> named_struct('pos', s - 1 + m.j, 'fp', -m.nh)))""".stripMargin).as("fps"))
-      wins.select(col("doc_id"), explode(col("fps")).as("f"))
-        .select(col("doc_id"), col("f.pos").cast("bigint").as("pos"), col("f.fp").as("fp"))
+          posexplode(expr(s"transform($shinglesFromToks, s -> ${h60Spark("s")})"))
+            .as(Seq("pos", "h")))
+      val fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 7)
+      val wins = rows.select(col("doc_id"), col("pos"),
+        min(struct(col("h"), (-col("pos")).as("np"))).over(fwd).as("m"),
+        count(lit(1)).over(fwd).as("wlen"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("dlen"))
+      wins
+        .where(col("wlen") === 8 || (col("pos") === 0 && col("dlen") < 8))
+        .select(col("doc_id"), (-col("m.np")).cast("bigint").as("pos"), col("m.h").as("fp"))
         .distinct()
         .orderBy("doc_id", "pos")
     },
