@@ -98,13 +98,15 @@ object ScalingBench {
       case Some(cpus) => // child: one pinned level
         val (docs, sec) = runLevel(cpus.toInt, sfDir, reps, replicate)
         println(f"""{"docs":$docs,"sec":$sec%.3f}""")
-      case None => // parent: orchestrate 8 vs 32
-        val (n8, t8) = spawnLevel(8)
-        val (_, t32) = spawnLevel(32)
-        val tp8 = n8 / t8
-        val tp32 = n8 / t32
-        val eff = tp32 / (4.0 * tp8)
-        println(f"""{"sf":"$sfDir","docs":$n8,"local8_sec":$t8%.3f,"local8_docs_per_sec":$tp8%.1f,"local32_sec":$t32%.3f,"local32_docs_per_sec":$tp32%.1f,"scaling_efficiency":$eff%.3f}""")
+      case None => // parent: orchestrate N vs 4N (default 8 vs 32)
+        val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32").split(",").map(_.trim.toInt)
+        val Array(lo, hi) = levels
+        val (nLo, tLo) = spawnLevel(lo)
+        val (_, tHi) = spawnLevel(hi)
+        val tpLo = nLo / tLo
+        val tpHi = nLo / tHi
+        val eff = tpHi / ((hi.toDouble / lo) * tpLo)
+        println(f"""{"sf":"$sfDir","docs":$nLo,"local${lo}_sec":$tLo%.3f,"local${lo}_docs_per_sec":$tpLo%.1f,"local${hi}_sec":$tHi%.3f,"local${hi}_docs_per_sec":$tpHi%.1f,"scaling_efficiency":$eff%.3f}""")
     }
   }
 }

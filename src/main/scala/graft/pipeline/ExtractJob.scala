@@ -94,22 +94,41 @@ object ExtractJob {
       if (inflate <= 1) repl0
       else repl0.select(col("doc_id"),
         concat_ws(" ", (0 until inflate).map(_ => col("text")): _*).as("text"))
-    // lightweight pre-shuffle estimate; inflation mirrors DocSynth.synthDoc
-    val est = repl.as[(String, String)].map { case (id, t) =>
-      val giant = math.floorMod(graft.sources.DocSynth.hashOf(id), 97) == 0
-      (id, t, if (giant) t.length.toLong * 40 else t.length.toLong)
-    }.toDF("doc_id", "text", "est_chars")
-    val keyed = est
-      .withColumn("size_bucket",
-        when(col("est_chars") <= 0, 0L)
-          .otherwise(floor(log(4.0, col("est_chars").cast("double") + lit(1.0)))))
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
     val mode = cfg.mode
-    keyed.repartition(parts, col("size_bucket"), col("salt"))
-      .select(col("doc_id"), col("text")).as[(String, String)]
-      .mapPartitions(_.map { case (id, t) =>
-        Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
+    if (sys.env.contains("SPARK_GRAFT_FULL_SHUFFLE")) {
+      // round-1 shape (kept for A/B): salt-repartition EVERY row
+      val est = repl.as[(String, String)].map { case (id, t) =>
+        val giant = math.floorMod(graft.sources.DocSynth.hashOf(id), 97) == 0
+        (id, t, giant)
+      }.toDF("doc_id", "text", "giant")
+      est.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
+        .repartition(parts, col("giant"), col("salt"))
+        .select(col("doc_id"), col("text")).as[(String, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
+        })
+    } else {
+      // Skew-targeted exchange (round-2): normal docs are ALREADY evenly
+      // spread (scan splits on a real table; the small base repartition
+      // here), so only the ~1% giant docs move — hashed across `parts`
+      // tasks so no task serializes a run of 40x documents. Cuts the
+      // expensive post-explode shuffle from 100% of bytes to ~1% (the
+      // one-disk shuffle bottleneck in BASELINE.md), and classification is
+      // FUSED into each branch's single typed stage, so normal rows make
+      // exactly one Tungsten->JVM round-trip (the round-1 plan made two).
+      val giantOf = (id: String) => math.floorMod(graft.sources.DocSynth.hashOf(id), 97) == 0
+      val normals = repl.as[(String, String)].mapPartitions(_.collect {
+        case (id, t) if !giantOf(id) => Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
       })
+      val giants = repl.as[(String, String)].mapPartitions(_.filter(r => giantOf(r._1)))
+        .toDF("doc_id", "text")
+        .repartition(parts, col("doc_id")) // replica ids differ -> even spread
+        .as[(String, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
+        })
+      normals.union(giants)
+    }
   }
 
   /** One-pass extraction that also yields per-partition lineage rows.

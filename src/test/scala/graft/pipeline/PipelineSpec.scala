@@ -73,7 +73,7 @@ class PipelineSpec extends SparkTestBase {
     assert(lin.map(_.spans_emitted).sum == totalSpans)
   }
 
-  test("skew: salted repartition spreads giant docs across partitions") {
+  test("skew: giant docs spread across partitions (targeted salt exchange)") {
     import org.apache.spark.sql.functions._
     // replicate enough that several giant docs (1/97 of ids) exist
     val out = ExtractJob.extractFromRaw(spark, sfDir, replicate = 4,
@@ -83,10 +83,12 @@ class PipelineSpec extends SparkTestBase {
         aggregate(col("spans"), lit(0L), (acc, s) => acc + length(s.getField("text"))).as("chars"))
       .groupBy("pid").agg(sum("chars").as("chars"), count(lit(1)).as("docs"))
       .collect()
-    assert(byPart.length == 8) // no empty partitions
+    // union of (salted giants, pass-through normals): ≤ 2×8 partitions
+    assert(byPart.length <= 16 && byPart.length >= 8)
     val loads = byPart.map(r => r.getAs[Long]("chars").toDouble)
     // giants are ~40x normal docs; without spreading, one partition would
-    // carry multiples of the mean. Salting keeps max within 3x mean.
+    // carry multiples of the mean. The targeted exchange keeps max within
+    // 3x the mean over the actual task count.
     assert(loads.max < loads.sum / loads.length * 3.0,
       s"skewed partition loads: ${loads.sorted.reverse.take(3).mkString(",")} vs mean ${loads.sum / loads.length}")
   }
