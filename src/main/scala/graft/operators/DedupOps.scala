@@ -35,9 +35,38 @@ object DedupOps {
     s"list_transform(generate_series(1, len($toksDuck) - 2)," +
       s" i -> array_to_string(($toksDuck)[i:i+2], ' '))"
 
-  private val NumHashes = 8
+  /** LSH tuning knobs. Capture probability for Jaccard s is
+    * 1 - (1 - s^RowsPerBand)^NumBands; with (2 bands × 4 rows) the S-curve
+    * crosses 50% at s ≈ (1-(1/2)^(1/2))^(1/4) ≈ 0.73 — matched to the
+    * pipeline's exact-Jaccard ≥ 0.5 verify so near-threshold pairs still
+    * surface while candidate volume stays ~linear. Raise NumBands (more
+    * signatures) for higher recall at lower thresholds; raise RowsPerBand
+    * for stricter candidates. Band expressions below derive from these, so
+    * tuning is a one-line change on BOTH engines.
+    */
+  private val NumBands     = 2
+  private val RowsPerBand  = 4
+  private val NumHashes    = NumBands * RowsPerBand
   private def mhSpark(j: Int) = s"array_min(transform(shingles, s -> ${h60Spark(s"concat(s, '#$j')")}))"
   private def mhDuck(j: Int)  = s"list_min(list_transform(shingles, s -> ${h60Duck(s"s || '#$j'")}))"
+
+  /** (band index, Spark band-hash expr, DuckDB band-hash expr) per band. */
+  private def bandDefs: Seq[(Int, String, String)] =
+    (0 until NumBands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => s"mh$j")
+      (b,
+        s"md5(concat_ws('|', ${cols.mkString(", ")}))",
+        s"md5(concat_ws('|', ${cols.mkString(", ")}))")
+    }
+
+  private def bandsDuckSql: String =
+    bandDefs.map { case (b, _, d) => s"SELECT doc_id, $b AS band, $d AS bh FROM sig" }
+      .mkString("\n  UNION ALL\n  ")
+
+  private def bandsSpark(sig: org.apache.spark.sql.DataFrame) =
+    bandDefs.map { case (b, sExpr, _) =>
+      sig.select(col("doc_id"), lit(b).as("band"), expr(sExpr).as("bh"))
+    }.reduce(_ unionByName _)
 
   private val sigDuckCte =
     s"""sig AS (
@@ -73,24 +102,18 @@ object DedupOps {
       sigSpark(s, dir).where(col("doc_id") < 100).orderBy("doc_id")
     },
 
-    // MinHash + LSH candidate pairs: 2 bands x 4 rows; docs sharing a band
-    // bucket become candidates via an equi-join on the band hash (the
-    // at-scale path: no pairwise cross product ever materializes).
+    // MinHash + LSH candidate pairs (bands derived from NumBands ×
+    // RowsPerBand above): docs sharing a band bucket become candidates via
+    // an equi-join on the band hash (the at-scale path: no pairwise cross
+    // product ever materializes).
     Op("q_minhash_lsh_pairs",
       s"""WITH $sigDuckCte,
          |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS bh FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS bh FROM sig)
+         |  $bandsDuckSql)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sig = sigSpark(s, dir)
-      val b0 = sig.select(col("doc_id"), lit(0).as("band"),
-        md5(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh"))
-      val b1 = sig.select(col("doc_id"), lit(1).as("band"),
-        md5(concat_ws("|", col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh"))
-      val bands = b0.unionByName(b1)
+      val bands = bandsSpark(sigSpark(s, dir))
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -236,9 +259,7 @@ object DedupOps {
     Op("q_dedup_pipeline",
       s"""WITH $sigDuckCte,
          |bands AS (
-         |  SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS bh FROM sig
-         |  UNION ALL
-         |  SELECT doc_id, 1 AS band, md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS bh FROM sig),
+         |  $bandsDuckSql),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -251,12 +272,7 @@ object DedupOps {
          |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
          |ORDER BY keeper, dup""".stripMargin) { (s, dir) =>
-      val sig = sigSpark(s, dir)
-      val b0 = sig.select(col("doc_id"), lit(0).as("band"),
-        md5(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("bh"))
-      val b1 = sig.select(col("doc_id"), lit(1).as("band"),
-        md5(concat_ws("|", col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("bh"))
-      val bands = b0.unionByName(b1)
+      val bands = bandsSpark(sigSpark(s, dir))
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -43,6 +43,19 @@ object StreamingExtract {
       .agg(count(lit(1)).as("spans"), sum(col("chars")).as("chars"))
       .select(col("window.start").as("hour"), col("kind"), col("spans"), col("chars"))
 
+  /** Streaming exact dedup — the training-pipeline dedup operator on
+    * unbounded input: content-hash key, watermark-bounded state, so a
+    * duplicate arriving within the watermark horizon is dropped and state
+    * never grows past the horizon (the only viable shape at 100 TB/day:
+    * global forever-state is unbounded; bounded-horizon dedup + a periodic
+    * batch compaction of the sink handles late duplicates).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Per-doc running span counter with explicit state (the incremental
     * lineage counterpart): emits (doc_id, total_spans_so_far) per update.
     */

@@ -46,6 +46,26 @@ class StreamingSpec extends SparkTestBase {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "media", 1L, 0L)))
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val df = stream.toDS().toDF("ts", "doc_id", "text")
+    val q = StreamingExtract.dedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    // batch 1: two distinct texts + one in-batch duplicate
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "a1", "same words"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "a2", "same words"),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "b1", "other words"))
+    q.processAllAvailable()
+    // batch 2: duplicate arriving within the watermark horizon is dropped
+    stream.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "a3", "same words"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("doc_id").as[String].collect().sorted.toSeq
+    assert(kept == Seq("a1", "b1"))
+  }
+
   test("stateful running span counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, Int)]
