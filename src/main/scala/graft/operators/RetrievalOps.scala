@@ -53,11 +53,14 @@ object RetrievalOps {
     withQvec(s, dir).select(col("vec_id"), expr(dotExpr).as("score_exact"))
 
   /** Scale-safe ranked top-k: TakeOrderedAndProject over the full input, then
-    * a rank window over only the surviving k rows.
+    * a rank window over only the surviving k rows. The constant partition
+    * key changes nothing physically (k rows, one partition either way) but
+    * keeps WindowExec's "no partition defined" warning out of logs where it
+    * would look like the full-table anti-pattern.
     */
   private def rankedTopK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
-      .withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("rn", row_number().over(Window.partitionBy(lit(0)).orderBy(order: _*)))
 
   private def sparseScores(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -199,7 +202,7 @@ object RetrievalOps {
       val ranked = Tables.documents(s, dir)
         .orderBy(desc("n_chars"), asc("doc_id")).limit(20)
         .withColumn("chunk_rank",
-          row_number().over(Window.orderBy(desc("n_chars"), asc("doc_id"))))
+          row_number().over(Window.partitionBy(lit(0)).orderBy(desc("n_chars"), asc("doc_id"))))
       val sections = ranked.select(col("chunk_rank").cast("bigint").as("chunk_rank"), col("doc_id"),
         concat(lit("\n--- Chunk "), col("chunk_rank").cast("string"), lit(" ---\n"),
           when(length(col("text")) <= 500, col("text"))
@@ -207,7 +210,8 @@ object RetrievalOps {
       sections
         .withColumn("cum_chars",
           sum(length(col("section"))).over(
-            Window.orderBy("chunk_rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            Window.partitionBy(lit(0)).orderBy("chunk_rank")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .where(col("cum_chars") <= 4000)
         .orderBy("chunk_rank")
     }
