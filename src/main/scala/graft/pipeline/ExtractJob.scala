@@ -37,7 +37,16 @@ object ExtractJob {
         when(col("total_chars") <= 0, 0)
           .otherwise(floor(log(4.0, col("total_chars").cast("double") + lit(1.0)))))
 
-  /** Salted repartition + typed kernel stage. */
+  /** Salted repartition + typed kernel stage.
+    *
+    * This generic path (and the checkpointed `extractWithLineage`) keeps the
+    * FULL (size_bucket, salt) repartition because it makes no assumption
+    * about the input's partitioning — a caller may hand it one giant scan
+    * split. When the input is already spread (real table scan splits), the
+    * fused `extractFromRaw` below shows the preferred shape: move ONLY the
+    * skewed giant rows (~1% of bytes) and let normal rows ride their
+    * partition.
+    */
   def extract(docs: Dataset[Doc], cfg: Config = Config()): Dataset[Doc] = {
     val spark = docs.sparkSession
     import spark.implicits._
