@@ -98,6 +98,53 @@ object RetrievalOps {
       sparseScores(s, dir).orderBy(desc("score"), asc("doc_id")).limit(10)
     },
 
+    // R2 at production fidelity: BM25 scoring (the reference's sparse store
+    // is a BM25-style sparse-english model, sparse_store.py) — idf from doc
+    // frequencies, tf saturation k1=1.2, length normalization b=0.75. Fully
+    // relational: token explode → (doc, tok) tf with map-side combine →
+    // broadcast df/corpus stats → per-term double score (identical
+    // expression trees cross-engine) → order-independent DECIMAL sum.
+    Op("q_bm25_topk",
+      s"""WITH d AS (
+         |  SELECT doc_id, len(list_filter(str_split(text, ' '), t -> t <> '')) AS dl,
+         |         list_filter(str_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, CAST(min(dl) AS BIGINT) AS dl
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN ($qTokensSqlList) GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+         |      (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)) AS term_score
+         |  FROM tf t JOIN df f ON f.tok = t.tok, stats s)
+         |SELECT doc_id,
+         |       CAST(sum(CAST(term_score AS DECIMAL(18,12))) AS DOUBLE) AS bm25
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"), col("toks"))
+      val stats = d.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .where(col("tok").isin(qTokens: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("term_score"))
+      scored.groupBy(col("doc_id"))
+        .agg(sum(col("term_score").cast("decimal(18,12)")).cast("double").as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(10)
+    },
+
     // R3+R7 hybrid over-fetch + ordered union: dense fetched at 4*k, sparse
     // at k (search_wrapper.py:26-28), concatenated dense-first with an
     // explicit rank column (app.py:55,127 — plain UNION doesn't preserve

@@ -94,6 +94,47 @@ object SimilarityOps {
         .withColumn("score_exact", expr(dotAB("embedding", "qvec")))
         .orderBy(desc("score_exact"), asc("vec_id")).limit(5)
         .select(col("vec_id"), col("cid"), round(col("score_exact"), 4).as("score"))
+    },
+
+    // Embedding near-dup at scale: candidates bounded by IVF cell — the
+    // pairwise search runs INSIDE each centroid cell (equi-join on cid), so
+    // candidate volume is ~n²/nCells instead of n², and the same persisted
+    // cell partitioning the ANN index uses serves dedup for free. Exact
+    // cosine verifies candidates; top-20 reported.
+    Op("q_embed_neardup_cells",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT e.vec_id, c.cid, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckDotAB("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent c) WHERE rn = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid,
+         |       round(${duckDotAB("a.embedding", "b.embedding")} /
+         |             (${duckNrm("a.embedding")} * ${duckNrm("b.embedding")}), 4) AS cosine
+         |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE ${duckDotAB("a.embedding", "b.embedding")} /
+         |      (${duckNrm("a.embedding")} * ${duckNrm("b.embedding")}) >= 0.3
+         |ORDER BY ${duckDotAB("a.embedding", "b.embedding")} /
+         |         (${duckNrm("a.embedding")} * ${duckNrm("b.embedding")}) DESC, vec_a, vec_b
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val centArr = cent.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+      val assign = e.crossJoin(broadcast(centArr))
+        .withColumn("best", expr(
+          s"array_max(transform(cents, c -> named_struct('d', ${dotAB("embedding", "c.cvec")}, 'ncid', -c.cid)))"))
+        .select(col("vec_id"), (-col("best.ncid")).as("cid"), col("embedding"),
+          expr(nrm("embedding")).as("vnorm")) // per-row norm rides the join
+      val a = assign.as("a"); val b = assign.as("b")
+      val cos = expr(s"${dotAB("a.embedding", "b.embedding")}") /
+        (col("a.vnorm") * col("b.vnorm"))
+      a.join(b, col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .where(cos >= 0.3)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("a.cid").as("cid"),
+          round(cos, 4).as("cosine"), cos.as("cos_exact"))
+        .orderBy(desc("cos_exact"), asc("vec_a"), asc("vec_b")).limit(20)
+        .select(col("vec_a"), col("vec_b"), col("cid"), col("cosine"))
     }
   )
 }

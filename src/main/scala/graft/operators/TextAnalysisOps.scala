@@ -30,6 +30,37 @@ object TextAnalysisOps {
 
   val ops: Seq[Op] = Seq(
 
+    // Deterministic stratified train/val/test split — the assignment every
+    // training-data pipeline needs: hash-bucket on doc_id (stable across
+    // runs/engines, no RNG state), 80/10/10, reported per language stratum
+    // with within-stratum fractions. Map-only assignment; one partial-agg'd
+    // shuffle for the report.
+    Op("q_split_stratified",
+      s"""WITH assigned AS (
+         |  SELECT lang,
+         |    CASE WHEN ${h60Duck("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |         WHEN ${h60Duck("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |counts AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS docs
+         |           FROM assigned GROUP BY lang, split),
+         |totals AS (SELECT lang, CAST(sum(docs) AS BIGINT) AS total FROM counts GROUP BY lang)
+         |SELECT c.lang AS lang, c.split, c.docs,
+         |       CAST(c.docs AS DOUBLE) / t.total AS frac
+         |FROM counts c JOIN totals t ON t.lang = c.lang
+         |ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val assigned = Tables.documents(s, dir).select(col("lang"),
+        when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") < 8, "train")
+          .when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") === 8, "val")
+          .otherwise("test").as("split"))
+      val counts = assigned.groupBy(col("lang"), col("split")).agg(count(lit(1)).as("docs"))
+      val totals = counts.groupBy(col("lang")).agg(sum(col("docs")).as("total"))
+      counts.join(broadcast(totals), "lang")
+        .select(col("lang"), col("split"), col("docs"),
+          (col("docs").cast("double") / col("total")).as("frac"))
+        .orderBy("lang", "split")
+    },
+
     Op("q_lang_id",
       s"""SELECT doc_id,
          |  ${markers.map { case (l, ws) => s"CAST(${scoreDuck(ws)} AS INT) AS s_$l" }.mkString(",\n  ")},
