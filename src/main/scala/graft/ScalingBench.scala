@@ -99,7 +99,10 @@ object ScalingBench {
         val (docs, sec) = runLevel(cpus.toInt, sfDir, reps, replicate)
         println(f"""{"docs":$docs,"sec":$sec%.3f}""")
       case None => // parent: orchestrate N vs 4N (default 8 vs 32)
-        val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32").split(",").map(_.trim.toInt)
+        val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+        require(levels.length == 2 && levels(0) < levels(1),
+          s"SPARK_GRAFT_LEVELS must be 'lo,hi' with lo<hi, got: ${levels.mkString(",")}")
         val Array(lo, hi) = levels
         val (nLo, tLo) = spawnLevel(lo)
         val (_, tHi) = spawnLevel(hi)

@@ -74,17 +74,34 @@ object AnnIndex {
     */
   def build(embeddings: DataFrame, indexDir: String, nCells: Int = 16,
       refineIters: Int = 0): Unit = {
-    val cent = kmeansCentroids(embeddings, nCells, refineIters)
+    val spark = embeddings.sparkSession
+    // Materialize the centroids ONCE (nCells rows): Lloyd's avg() merges
+    // partial sums in shuffle-fetch order, so two lazy evaluations of the
+    // same plan could round a boundary assignment differently — the cells
+    // on disk MUST be assigned under exactly the persisted centroids.
+    val centPlan = kmeansCentroids(embeddings, nCells, refineIters)
+    val centRows = centPlan.collect()
+    val cent = spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows.toIndexedSeq, 1), centPlan.schema)
     assignTo(embeddings, cent)
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
     cent.write.mode("overwrite").parquet(centroidsDir(indexDir))
   }
 
-  /** Probe the persisted index: only `nprobe` cell partitions are scanned. */
+  /** Probe the persisted index: only `nprobe` cell partitions are scanned.
+    * Probes use the centroid table persisted with the index; indexes written
+    * before centroids were persisted fall back to the deterministic
+    * first-`nCells` derivation (which is what built them).
+    */
   def search(spark: SparkSession, indexDir: String, embeddings: DataFrame,
       queryVecId: Long, nCells: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
     val q = embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
-    val probeCells = spark.read.parquet(centroidsDir(indexDir)).crossJoin(broadcast(q))
+    val centPath = new org.apache.hadoop.fs.Path(centroidsDir(indexDir))
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cent =
+      if (fs.exists(centPath)) spark.read.parquet(centroidsDir(indexDir))
+      else centroids(embeddings, nCells)
+    val probeCells = cent.crossJoin(broadcast(q))
       .withColumn("qdot", dot("cvec", "qvec"))
       .orderBy(desc("qdot"), asc("cell")).limit(nprobe)
       .select(col("cell")).collect().map(_.getLong(0))

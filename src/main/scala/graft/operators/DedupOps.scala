@@ -50,22 +50,22 @@ object DedupOps {
   private def mhSpark(j: Int) = s"array_min(transform(shingles, s -> ${h60Spark(s"concat(s, '#$j')")}))"
   private def mhDuck(j: Int)  = s"list_min(list_transform(shingles, s -> ${h60Duck(s"s || '#$j'")}))"
 
-  /** (band index, Spark band-hash expr, DuckDB band-hash expr) per band. */
-  private def bandDefs: Seq[(Int, String, String)] =
+  /** (band index, band-hash expr) per band — the expression string is valid
+    * in BOTH engines, so the bucketing can never silently diverge.
+    */
+  private def bandDefs: Seq[(Int, String)] =
     (0 until NumBands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(j => s"mh$j")
-      (b,
-        s"md5(concat_ws('|', ${cols.mkString(", ")}))",
-        s"md5(concat_ws('|', ${cols.mkString(", ")}))")
+      (b, s"md5(concat_ws('|', ${cols.mkString(", ")}))")
     }
 
   private def bandsDuckSql: String =
-    bandDefs.map { case (b, _, d) => s"SELECT doc_id, $b AS band, $d AS bh FROM sig" }
+    bandDefs.map { case (b, h) => s"SELECT doc_id, $b AS band, $h AS bh FROM sig" }
       .mkString("\n  UNION ALL\n  ")
 
   private def bandsSpark(sig: org.apache.spark.sql.DataFrame) =
-    bandDefs.map { case (b, sExpr, _) =>
-      sig.select(col("doc_id"), lit(b).as("band"), expr(sExpr).as("bh"))
+    bandDefs.map { case (b, h) =>
+      sig.select(col("doc_id"), lit(b).as("band"), expr(h).as("bh"))
     }.reduce(_ unionByName _)
 
   private val sigDuckCte =

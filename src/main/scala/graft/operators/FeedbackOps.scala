@@ -59,7 +59,11 @@ object FeedbackOps {
          |       CAST(max($feedbackSql) AS DOUBLE) AS hit_rate
          |FROM events
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val path = s"/tmp/graft_feedback_jsonl/${new java.io.File(dir).getName}"
+      // Path is keyed by the Spark applicationId so concurrent sessions
+      // (Verify pre-flight vs Bench, parallel test forks) never race on the
+      // overwrite. NOTE: invoking this op runs the JSONL write eagerly —
+      // the round-trip IS the operator under test.
+      val path = s"/tmp/graft_feedback_jsonl/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
       feedbackRows(s, dir).write.mode("overwrite").json(path)
       val readBack = s.read
         .schema("request_id BIGINT, dense_model STRING, rerank_model STRING, feedback INT")

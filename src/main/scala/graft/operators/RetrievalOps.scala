@@ -252,11 +252,8 @@ object RetrievalOps {
         |             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS chunk_rank
         |      FROM documents) WHERE chunk_rank <= 20))
         |WHERE cum_chars <= 4000 ORDER BY chunk_rank""".stripMargin) { (s, dir) =>
-      val ranked = Tables.documents(s, dir)
-        .orderBy(desc("n_chars"), asc("doc_id")).limit(20)
-        .withColumn("chunk_rank",
-          row_number().over(Window.partitionBy(onePart(col("doc_id")))
-            .orderBy(desc("n_chars"), asc("doc_id"))))
+      val ranked = rankedTopK(Tables.documents(s, dir), 20, desc("n_chars"), asc("doc_id"))
+        .withColumnRenamed("rn", "chunk_rank")
       val sections = ranked.select(col("chunk_rank").cast("bigint").as("chunk_rank"), col("doc_id"),
         concat(lit("\n--- Chunk "), col("chunk_rank").cast("string"), lit(" ---\n"),
           when(length(col("text")) <= 500, col("text"))

@@ -71,17 +71,13 @@ object SimilarityOps {
       val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
 
-      // Map-side argmax: the centroid set collapses to ONE broadcast row
-      // holding a sorted array, and nearest-centroid is a codegen'd fold per
-      // vector — no explode, no shuffle, no self-join (round-1 fix: the
-      // previous crossJoin × row_number-over-Window plan shuffled 8× the
-      // table and then joined the assignment back to the full table).
-      // max(struct(dot, -cid)) == (dot DESC, cid ASC) argmax.
-      val centArr = cent.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      val withCell = e.crossJoin(broadcast(centArr))
-        .withColumn("best", expr(
-          s"array_max(transform(cents, c -> named_struct('d', ${dotAB("embedding", "c.cvec")}, 'ncid', -c.cid)))"))
-        .select(col("vec_id"), col("embedding"), (-col("best.ncid")).as("cid"))
+      // Map-side argmax (shared fold in AnnIndex.assignTo): no explode, no
+      // shuffle, no self-join (round-1 fix: the previous crossJoin ×
+      // row_number-over-Window plan shuffled 8× the table and then joined
+      // the assignment back to the full table).
+      val withCell = AnnIndex
+        .assignTo(e, cent.select(col("cid").as("cell"), col("cvec")))
+        .select(col("vec_id"), col("embedding"), col("cell").as("cid"))
 
       val probes = cent.crossJoin(broadcast(q))
         .withColumn("qdot", expr(dotAB("cvec", "qvec")))
@@ -119,12 +115,9 @@ object SimilarityOps {
          |         (${duckNrm("a.embedding")} * ${duckNrm("b.embedding")}) DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, dir) =>
       val e = Tables.embeddings(s, dir)
-      val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val centArr = cent.agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      val assign = e.crossJoin(broadcast(centArr))
-        .withColumn("best", expr(
-          s"array_max(transform(cents, c -> named_struct('d', ${dotAB("embedding", "c.cvec")}, 'ncid', -c.cid)))"))
-        .select(col("vec_id"), (-col("best.ncid")).as("cid"), col("embedding"),
+      val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+      val assign = AnnIndex.assignTo(e, cent)
+        .select(col("vec_id"), col("cell").as("cid"), col("embedding"),
           expr(nrm("embedding")).as("vnorm")) // per-row norm rides the join
       val a = assign.as("a"); val b = assign.as("b")
       val cos = expr(s"${dotAB("a.embedding", "b.embedding")}") /
