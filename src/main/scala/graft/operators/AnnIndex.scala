@@ -18,9 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))," +
-      " cast(0.0 as double), (acc, v) -> acc + v)")
+  // Native codegen'd dot (bit-identical to the portable HOF form).
+  private def dot(a: String, b: String) = expr(s"vec_dot($a, $b)")
 
   def centroids(embeddings: DataFrame, nCells: Int): DataFrame =
     embeddings.where(col("vec_id") < nCells)
@@ -38,12 +37,11 @@ object AnnIndex {
 
   /** Same, against an explicit centroid table (cell, cvec). */
   def assignTo(embeddings: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensure(embeddings.sparkSession)
     val centArr = cent.agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
     embeddings.crossJoin(broadcast(centArr))
       .withColumn("best", expr(
-        "array_max(transform(cents, c -> named_struct('d', " +
-          "aggregate(zip_with(embedding, c.cvec, (x, y) -> cast(x as double) * cast(y as double))," +
-          " cast(0.0 as double), (acc, v) -> acc + v), 'ncell', -c.cell)))"))
+        "array_max(transform(cents, c -> named_struct('d', vec_dot(embedding, c.cvec), 'ncell', -c.cell)))"))
       .select(col("vec_id"), (-col("best.ncell")).as("cell"), col("embedding"))
   }
 
@@ -95,6 +93,7 @@ object AnnIndex {
     */
   def search(spark: SparkSession, indexDir: String, embeddings: DataFrame,
       queryVecId: Long, nCells: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensure(spark)
     val q = embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
     val centPath = new org.apache.hadoop.fs.Path(centroidsDir(indexDir))
     val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,6 +114,7 @@ object AnnIndex {
 
   /** Exact brute-force top-k (recall baseline). */
   def bruteForce(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.ensure(embeddings.sparkSession)
     val q = embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
     embeddings.crossJoin(broadcast(q))
       .withColumn("score_exact", dot("embedding", "qvec"))

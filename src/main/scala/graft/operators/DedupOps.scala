@@ -325,12 +325,11 @@ object DedupOps {
         |     sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cosine
         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
         |ORDER BY vec_a""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
       val e = Tables.embeddings(s, dir)
       val a = e.as("a"); val b = e.as("b")
-      val dot =
-        "aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
-      def nrm(side: String) =
-        s"sqrt(aggregate(transform($side.embedding, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+      val dot = "vec_dot(a.embedding, b.embedding)"
+      def nrm(side: String) = s"sqrt(vec_dot($side.embedding, $side.embedding))"
       a.join(b, col("b.vec_id") === col("a.vec_id") + 1)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(expr(s"$dot / (${nrm("a")} * ${nrm("b")})"), 4).as("cosine"))

@@ -28,13 +28,12 @@ object RetrievalOps {
   private val qTokens = Seq("spark", "merge", "join", "fast")
   private val qTokensSqlList = qTokens.map(t => s"'$t'").mkString(", ")
 
-  /** dot(embedding, qvec) in deterministic array order, all-double. */
-  private val dotExpr =
-    "aggregate(zip_with(embedding, qvec, (x, y) -> cast(x as double) * cast(y as double))," +
-      " cast(0.0 as double), (acc, v) -> acc + v)"
-  private val normExpr =
-    "sqrt(aggregate(transform(%s, x -> cast(x as double) * cast(x as double))," +
-      " cast(0.0 as double), (acc, v) -> acc + v))"
+  /** dot(embedding, qvec) — native codegen'd VecDot: same index order and
+    * casts as the portable aggregate(zip_with(...)) form, so results are
+    * bit-identical to the DuckDB oracle, but the loop runs inside
+    * whole-stage codegen instead of interpreted HOF evaluation.
+    */
+  private val dotExpr = "vec_dot(embedding, qvec)"
 
   private val duckDot =
     "list_aggregate(list_transform(list_zip(e.embedding, q.embedding)," +
@@ -49,8 +48,10 @@ object RetrievalOps {
   }
 
   /** Shared dense scoring plan: (vec_id, score_exact). */
-  private def denseScores(s: SparkSession, dir: String): DataFrame =
+  private def denseScores(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
     withQvec(s, dir).select(col("vec_id"), expr(dotExpr).as("score_exact"))
+  }
 
   /** Constant-valued but non-foldable partition key: every row lands in one
     * partition (same as no partitionBy), but WindowExec's "no partition

@@ -15,14 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  private val dotQ =
-    "aggregate(zip_with(embedding, qvec, (x, y) -> cast(x as double) * cast(y as double))," +
-      " cast(0.0 as double), (acc, v) -> acc + v)"
-  private def dotAB(a: String, b: String) =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))," +
-      " cast(0.0 as double), (acc, v) -> acc + v)"
-  private def nrm(c: String) =
-    s"sqrt(aggregate(transform($c, x -> cast(x as double) * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+  // Native codegen'd VecDot — bit-identical to the portable
+  // aggregate(zip_with(...)) the DuckDB oracles evaluate (same index order
+  // and casts), but runs inside whole-stage codegen.
+  private val dotQ = "vec_dot(embedding, qvec)"
+  private def dotAB(a: String, b: String) = s"vec_dot($a, $b)"
+  private def nrm(c: String) = s"sqrt(vec_dot($c, $c))"
 
   private def duckDotAB(a: String, b: String) =
     s"list_aggregate(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
@@ -39,6 +37,7 @@ object SimilarityOps {
          |ORDER BY ${duckDotAB("e.embedding", "q.embedding")} /
          |         (${duckNrm("e.embedding")} * ${duckNrm("q.embedding")}) DESC, e.vec_id
          |LIMIT 10""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
       val e = Tables.embeddings(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
       e.crossJoin(broadcast(q))
@@ -67,6 +66,7 @@ object SimilarityOps {
          |JOIN assign a ON a.vec_id = e.vec_id
          |JOIN probes p ON p.cid = a.cid, q
          |ORDER BY ${duckDotAB("e.embedding", "q.qvec")} DESC, e.vec_id LIMIT 5""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
       val e = Tables.embeddings(s, dir)
       val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -114,6 +114,7 @@ object SimilarityOps {
          |ORDER BY ${duckDotAB("a.embedding", "b.embedding")} /
          |         (${duckNrm("a.embedding")} * ${duckNrm("b.embedding")}) DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
       val e = Tables.embeddings(s, dir)
       val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cell"), col("embedding").as("cvec"))
       val assign = AnnIndex.assignTo(e, cent)
