@@ -84,8 +84,14 @@ object Bench {
     }.min
     val sustained = nDocs * repl / math.max(sustainedSec, 1e-9)
 
+    // min-of-N per query: this VM's co-tenant load spikes random intervals
+    // 5-20x (BENCH_r02 recorded 199.8s for a ~60s suite) — the official
+    // artifact must not depend on landing in a quiet window. min (not mean)
+    // because noise is strictly additive.
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try timeSec(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val sec = try (1 to qreps).map(_ => timeSec(force(fn(spark, sfDir)))).min
+        catch { case _: Throwable => -1.0 }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -63,22 +63,44 @@ object DedupOps {
     bandDefs.map { case (b, h) => s"SELECT doc_id, $b AS band, $h AS bh FROM sig" }
       .mkString("\n  UNION ALL\n  ")
 
+  // One projection computing ALL band hashes, exploded to (band, bh) rows —
+  // NOT a per-band union: column pruning would specialize each union branch
+  // to its own 4 mh columns, splitting the signature aggregate into two
+  // non-reusable exchanges (two documents scans instead of one).
   private def bandsSpark(sig: org.apache.spark.sql.DataFrame) =
-    bandDefs.map { case (b, h) =>
-      sig.select(col("doc_id"), lit(b).as("band"), expr(h).as("bh"))
-    }.reduce(_ unionByName _)
+    sig.select(col("doc_id"),
+      posexplode(array(bandDefs.map { case (_, h) => expr(h) }: _*)).as(Seq("band", "bh")))
 
   private val sigDuckCte =
     s"""sig AS (
        |  SELECT doc_id, ${(0 until NumHashes).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")}
        |  FROM (SELECT doc_id, $shinglesDuck AS shingles FROM documents WHERE len($toksDuck) >= 3))""".stripMargin
 
-  private def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir)
+  private def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val raw = Tables.documents(s, dir)
       .select(col("doc_id"), expr(toksSpark).as("toks"))
       .where(expr("size(toks) >= 3"))
       .select(col("doc_id"), expr(shinglesFromToks).as("shingles"))
       .select(col("doc_id") +: (0 until NumHashes).map(j => expr(mhSpark(j)).as(s"mh$j")): _*)
+    // MATERIALIZE the signature table behind an Aggregate barrier (the
+    // q_simhash_pairs pattern): without it, every band branch and both
+    // self-join sides re-inline the tokenize→shingle→md5-min fold, scanning
+    // documents 4-6x per LSH query. With it, the plan computes signatures
+    // ONCE and all other references reuse the exchange — at 100 TB this
+    // narrow (doc_id, mh0..mh7) table is what you'd persist anyway.
+    val aggs = (0 until NumHashes).map(j => first(col(s"mh$j")).as(s"mh$j"))
+    raw.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Distinct-shingle-set table behind the same Aggregate barrier — one
+    * documents scan feeds both sides of the exact-Jaccard verify join.
+    */
+  private def shingleSetSpark(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toksSpark).as("toks"))
+      .where(expr("size(toks) >= 3"))
+      .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
+      .groupBy(col("doc_id")).agg(first(col("sh")).as("sh"))
 
   val ops: Seq[Op] = Seq(
 
@@ -146,6 +168,8 @@ object DedupOps {
           """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
             |  acc + if(2 * size(filter(hashes, h -> shiftright(h, b) % 2 = 1)) >= size(hashes),
             |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+        // Aggregate barrier: signatures computed once, both join sides reuse
+        .groupBy(col("doc_id")).agg(first(col("simhash")).as("simhash"))
       val a = sh.as("a"); val b = sh.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_id"), col("a.simhash").as("simhash"),
@@ -278,10 +302,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), expr(toksSpark).as("toks"))
-        .where(expr("size(toks) >= 3"))
-        .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
+      val sh = shingleSetSpark(s, dir)
       val jac = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
         size(array_union(col("x.sh"), col("y.sh"))).cast("double")
       cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
@@ -301,10 +322,7 @@ object DedupOps {
          |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
          |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), expr(toksSpark).as("toks"))
-        .where(expr("size(toks) >= 3"))
-        .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
+      val t = shingleSetSpark(s, dir) // barrier'd: one scan, both join sides reuse
       val a = t.as("a"); val b = t.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

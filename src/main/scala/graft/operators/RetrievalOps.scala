@@ -253,19 +253,84 @@ object RetrievalOps {
         |             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS chunk_rank
         |      FROM documents) WHERE chunk_rank <= 20))
         |WHERE cum_chars <= 4000 ORDER BY chunk_rank""".stripMargin) { (s, dir) =>
-      val ranked = rankedTopK(Tables.documents(s, dir), 20, desc("n_chars"), asc("doc_id"))
-        .withColumnRenamed("rn", "chunk_rank")
-      val sections = ranked.select(col("chunk_rank").cast("bigint").as("chunk_rank"), col("doc_id"),
-        concat(lit("\n--- Chunk "), col("chunk_rank").cast("string"), lit(" ---\n"),
-          when(length(col("text")) <= 500, col("text"))
-            .otherwise(concat(substring(col("text"), 1, 500), lit("...")))).as("section"))
-      sections
-        .withColumn("cum_chars",
-          sum(length(col("section"))).over(
-            Window.partitionBy(onePart(col("doc_id"))).orderBy("chunk_rank")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .where(col("cum_chars") <= 4000)
-        .orderBy("chunk_rank")
+      budgetedSections(s, dir).orderBy("chunk_rank")
+    },
+
+    // R9 (template half): the fixed answer-generation prompt assembled over
+    // the budgeted context (app.py:254-265 — the f-string Gemini prompt; the
+    // LLM call itself is an external service and stays out of scope). The
+    // context join is "\n".join(parts) (app.py:67), each part already
+    // carrying its "\n--- Chunk i ---\n" header from the budget stage.
+    Op("q_prompt_build",
+      s"""WITH budget AS (
+         |  SELECT chunk_rank, section FROM (
+         |    SELECT chunk_rank, section,
+         |           sum(length(section)) OVER (ORDER BY chunk_rank
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+         |    FROM (
+         |      SELECT chunk_rank,
+         |        chr(10) || '--- Chunk ' || CAST(chunk_rank AS VARCHAR) || ' ---' || chr(10) ||
+         |        (CASE WHEN length(text) <= 500 THEN text ELSE substring(text, 1, 500) || '...' END) AS section
+         |      FROM (
+         |        SELECT doc_id, text,
+         |               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS chunk_rank
+         |        FROM documents) WHERE chunk_rank <= 20))
+         |  WHERE cum_chars <= 4000)
+         |SELECT prompt, n_chunks, CAST(length(prompt) AS BIGINT) AS prompt_chars FROM (
+         |  SELECT ${duckLit(PromptPre + PromptQuery + PromptMid)} ||
+         |         string_agg(section, chr(10) ORDER BY chunk_rank) ||
+         |         ${duckLit(PromptPost)} AS prompt,
+         |         CAST(count(*) AS BIGINT) AS n_chunks
+         |  FROM budget)""".stripMargin) { (s, dir) =>
+      val agg = budgetedSections(s, dir).agg(
+        expr("array_join(transform(array_sort(collect_list(struct(chunk_rank, section)))," +
+          " x -> x.section), '\n')").as("ctx"),
+        count(lit(1)).as("n_chunks"))
+      agg
+        .select(
+          concat(lit(PromptPre + PromptQuery + PromptMid), col("ctx"), lit(PromptPost)).as("prompt"),
+          col("n_chunks"))
+        .select(col("prompt"), col("n_chunks"),
+          length(col("prompt")).cast("bigint").as("prompt_chars"))
     }
   )
+
+  /** R8's budgeted context sections (chunk_rank, doc_id, section, cum_chars)
+    * — shared by q_context_budget and q_prompt_build. Top-k first, so the
+    * running-sum window only ever sees the 20 limited rows.
+    */
+  private def budgetedSections(s: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedTopK(Tables.documents(s, dir), 20, desc("n_chars"), asc("doc_id"))
+      .withColumnRenamed("rn", "chunk_rank")
+    val sections = ranked.select(col("chunk_rank").cast("bigint").as("chunk_rank"), col("doc_id"),
+      concat(lit("\n--- Chunk "), col("chunk_rank").cast("string"), lit(" ---\n"),
+        when(length(col("text")) <= 500, col("text"))
+          .otherwise(concat(substring(col("text"), 1, 500), lit("...")))).as("section"))
+    sections
+      .withColumn("cum_chars",
+        sum(length(col("section"))).over(
+          Window.partitionBy(onePart(col("doc_id"))).orderBy("chunk_rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_chars") <= 4000)
+  }
+
+  /** The reference's Gemini prompt template (app.py:254-265), verbatim —
+    * including its source-indentation quirk (12 leading spaces on the
+    * Query/Context/Answer lines, an artifact of the f-string living inside
+    * the Flask handler).
+    */
+  private def PromptPre: String =
+    "You are a helpful assistant. Use ONLY the provided context to answer the user query. " +
+      "If the answer is not in the context, say you do not have enough information.\n\n" +
+      "            Query: "
+  private def PromptQuery: String = "What is the ingestion latency?"
+  private def PromptMid: String = "\n\n            Context:\n            "
+  private def PromptPost: String = "\n\n            Answer:"
+
+  /** Render a Scala string (possibly containing newlines) as a DuckDB
+    * concat expression — newlines become chr(10) so the oracle SQL stays a
+    * single logical token stream regardless of JSON/driver round-trips.
+    */
+  private def duckLit(s: String): String =
+    s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'").mkString(" || chr(10) || ")
 }

@@ -85,8 +85,11 @@ class PlanQualitySpec extends SparkTestBase {
   test("q_winnow: the winnowing window is doc_id-partitioned") {
     val p = plan("q_winnow")
     assert(p.contains("Window"), p.take(3000))
-    assert(p.contains("partitionBy: [doc_id") || p.contains("[doc_id#"),
-      p.take(3000)) // partition spec present -> no single-partition window
+    // the Window node's own partition spec (windowspecdefinition's first
+    // argument) must be doc_id — matching any bracketed doc_id reference in
+    // the plan (e.g. a Project list) would make this gate vacuous
+    assert("windowspecdefinition\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      p.take(3000))
   }
 
   test("q_simhash_pairs: signatures materialize behind an Aggregate barrier") {
@@ -94,5 +97,38 @@ class PlanQualitySpec extends SparkTestBase {
     // without the barrier, predicate pushdown re-inlines the md5 fold into
     // the join filter; the barrier shows up as an aggregate over doc_id
     assert(p.contains("first(simhash"), p.take(4000))
+  }
+
+  /** Round-2 judge finding: the MinHash LSH branches re-ran the
+    * tokenize→shingle→md5-min signature fold in every band branch and on
+    * both self-join sides (4-6 documents scans per query). The signature /
+    * shingle tables must materialize behind Aggregate barriers so every
+    * other reference reuses the exchange: with static reuse (AQE off for
+    * plan inspection only) the plan shows exactly ONE FileScan per
+    * signature table, the rest as ReusedExchange.
+    */
+  private def withStaticReuse[A](f: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
+  test("q_minhash_lsh_pairs: one documents scan, barrier'd signatures reused") {
+    withStaticReuse {
+      val p = plan("q_minhash_lsh_pairs")
+      assert(p.contains("first(mh0"), p.take(4000))
+      assert("FileScan".r.findAllIn(p).size == 1, p.take(4000))
+      assert(p.contains("ReusedExchange"), p.take(4000))
+    }
+  }
+
+  test("q_dedup_pipeline: one scan per signature table (minhash sig + shingle sets)") {
+    withStaticReuse {
+      val p = plan("q_dedup_pipeline")
+      assert(p.contains("first(mh0") && p.contains("first(sh"), p.take(4000))
+      assert("FileScan".r.findAllIn(p).size == 2, p.take(4000))
+      assert(p.contains("ReusedExchange"), p.take(4000))
+    }
   }
 }
