@@ -21,13 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("md5prefix64"),
       new ExpressionInfo(classOf[Md5Prefix64].getName, "md5prefix64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Prefix64(children.head)))
+      graft.functions.GraftFunctions.md5Prefix64Builder))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.VecDot(children.head, children(1))))
+      graft.functions.GraftFunctions.vecDotBuilder))
     ext.injectOptimizerRule(_ => NativeHashRule)
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Imperative registration of the engine's native functions, for sessions
   * built WITHOUT `spark.sql.extensions=graft.GraftExtensions` (a host that
@@ -10,19 +10,36 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * operator code that uses the functions calls this first.
   */
 object GraftFunctions {
+
+  /** Arity-checked builders, shared with [[graft.GraftExtensions]] — the
+    * functions are injected session-wide for arbitrary SQL, so `vec_dot(a)`
+    * must fail analysis with a clear message rather than throw an index
+    * error, and `vec_dot(a, b, c)` must not silently ignore the third
+    * argument.
+    */
+  private[graft] def vecDotBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"vec_dot requires exactly 2 arguments (two float/double arrays), got ${children.length}")
+    VecDot(children.head, children(1))
+  }
+
+  private[graft] def md5Prefix64Builder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"md5prefix64 requires exactly 1 argument, got ${children.length}")
+    Md5Prefix64(children.head)
+  }
+
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(new FunctionIdentifier("vec_dot")))
       reg.registerFunction(
         new FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          VecDot(children.head, children(1)))
+        vecDotBuilder _)
     if (!reg.functionExists(new FunctionIdentifier("md5prefix64")))
       reg.registerFunction(
         new FunctionIdentifier("md5prefix64"),
         new ExpressionInfo(classOf[Md5Prefix64].getName, "md5prefix64"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          Md5Prefix64(children.head))
+        md5Prefix64Builder _)
   }
 }

@@ -31,6 +31,39 @@ object VecDotUtil {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** Null-aware variants for ArrayType(..., containsNull = true) inputs —
+    * parquet-read arrays always carry that flag. A null element makes the
+    * whole dot null, matching the portable HOF form exactly: in
+    * `aggregate(zip_with(...), 0.0, (acc, v) -> acc + v)` one null product
+    * poisons the running sum to null. (The per-element isNullAt is a bit
+    * test on the Unsafe null bitmap — negligible next to the multiply.)
+    */
+  def dotFN(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vec_dot: length mismatch $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  def dotDN(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vec_dot: length mismatch $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
 }
 
 /** Native codegen'd dot product over two equal-length float/double arrays —
@@ -41,8 +74,9 @@ object VecDotUtil {
   * order and casts match the portable form exactly, so swapping it in cannot
   * change any cross-engine-checked result bit.
   *
-  * Arrays must be equal-length and null-free (embedding columns are); a
-  * mismatch fails fast rather than returning a silent null.
+  * Arrays must be equal-length (a mismatch fails fast rather than returning
+  * a silent null); a null ELEMENT yields a null result — exactly the HOF
+  * form's semantics, where one null product poisons the running sum.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -64,14 +98,38 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   private def isFloat = elemType(left).contains(FloatType)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    if (isFloat) VecDotUtil.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    else VecDotUtil.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  /** Either input may carry null elements (parquet arrays always declare
+    * containsNull = true) → the result can be null even when both array
+    * values are non-null, matching the HOF form's null poisoning.
+    */
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (isFloat) "dotF" else "dotD"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDotUtil.$fn($a, $b)")
+  override def nullable: Boolean = left.nullable || right.nullable || elementsNullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    (isFloat, elementsNullable) match {
+      case (true, false)  => VecDotUtil.dotF(x, y)
+      case (false, false) => VecDotUtil.dotD(x, y)
+      case (true, true)   => VecDotUtil.dotFN(x, y)
+      case (false, true)  => VecDotUtil.dotDN(x, y)
+    }
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!elementsNullable) {
+      val fn = if (isFloat) "dotF" else "dotD"
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDotUtil.$fn($a, $b)")
+    } else {
+      val fn = if (isFloat) "dotFN" else "dotDN"
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double ${ev.value}_r = graft.functions.VecDotUtil.$fn($a, $b);
+        if (${ev.value}_r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
+    }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)

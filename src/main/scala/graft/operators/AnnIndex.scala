@@ -1,41 +1,104 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index for embedding similarity — the production ANN shape
   * (q_ann_ivf shows the one-shot query; this module materializes the index).
   *
-  * Build: assign every vector to its nearest centroid (inner product) and
-  * write the assignment partitioned by cell — at 100 TB each cell becomes a
-  * parquet partition, so a probe reads only `nprobe/nCells` of the data via
+  * Build: seed centroids kmeans++-style (deterministic farthest-first over a
+  * bounded hash-sample), refine with Lloyd iterations (default 2), assign
+  * every vector to its nearest centroid (inner product) and write the
+  * assignment partitioned by cell — at 100 TB each cell becomes a parquet
+  * partition, so a probe reads only `nprobe/nCells` of the data via
   * partition pruning.
   *
   * Search: score the query against the (tiny, broadcast) centroid set, read
   * only the top-`nprobe` cells, exact-score the candidates, top-k.
   *
-  * Deterministic: centroids = the first `nCells` vectors; ties broken by id.
+  * Durability ordering: the centroid table commits BEFORE the cell data —
+  * probes MUST use the exact centroids the cells were assigned under, so a
+  * crash mid-build must never leave cells on disk with no (or newer)
+  * centroids. A missing centroid table fails fast instead of silently
+  * re-deriving seeds that may not match the persisted assignment.
+  *
+  * Everything is deterministic: hash-ordered sampling, vec_id tie-breaks,
+  * and a single materialization of the refined centroids (Lloyd's avg()
+  * merges partials in shuffle-fetch order, so re-evaluating the plan could
+  * round a boundary assignment differently).
   */
 object AnnIndex {
 
   // Native codegen'd dot (bit-identical to the portable HOF form).
   private def dot(a: String, b: String) = expr(s"vec_dot($a, $b)")
 
-  def centroids(embeddings: DataFrame, nCells: Int): DataFrame =
-    embeddings.where(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+  /** kmeans++-style deterministic seeding: farthest-first traversal over a
+    * bounded pseudo-random sample.
+    *
+    * One distributed pass takes the `sampleSize` vectors with the smallest
+    * `xxhash64(vec_id)` (a deterministic "random" sample independent of id
+    * order); the greedy then runs driver-side over that ~1 MB sample: start
+    * from the sample vector with the smallest hash, repeatedly add the
+    * vector whose maximum dot with the chosen set is smallest (the
+    * farthest-first rule — kmeans++'s D²-sampling with the argmax instead of
+    * a draw, so no RNG). Ties break by vec_id. At 100 TB the sample bound
+    * keeps seeding one scan + O(sampleSize × nCells) driver work.
+    */
+  def seedCentroids(embeddings: DataFrame, nCells: Int, sampleSize: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, "seedCentroids: empty embeddings table")
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val k = math.min(nCells, sample.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    // maxSim(i) = max dot between sample(i) and any chosen seed
+    val maxSim = sample.map(v => dotd(v._2, sample.head._2))
+    while (chosen.length < k) {
+      var best = -1
+      var bestSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        if (maxSim(i) < bestSim && !chosen.exists(_._1 == sample(i)._1)) {
+          bestSim = maxSim(i); best = i
+        }
+        i += 1
+      }
+      val next = sample(best)
+      chosen += next
+      var j = 0
+      while (j < sample.length) {
+        val s = dotd(sample(j)._2, next._2)
+        if (s > maxSim(j)) maxSim(j) = s
+        j += 1
+      }
+    }
+    val rows = chosen.zipWithIndex.map { case ((_, v), cell) =>
+      Row(cell.toLong, v.map(_.toFloat).toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false), false))))
+  }
 
-  /** Assignment table (vec_id, cell, embedding).
+  /** Assignment table (vec_id, cell, embedding) against an explicit centroid
+    * table (cell, cvec).
     *
     * Nearest-centroid is a map-side fold over ONE broadcast row carrying the
     * sorted centroid array — max(struct(dot, -cell)) == (dot DESC, cell ASC)
     * argmax — so the assignment stage is shuffle-free (round-1 fix: the
     * crossJoin × row_number-over-Window plan shuffled nCells× the table).
     */
-  def assign(embeddings: DataFrame, nCells: Int): DataFrame =
-    assignTo(embeddings, centroids(embeddings, nCells))
-
-  /** Same, against an explicit centroid table (cell, cvec). */
   def assignTo(embeddings: DataFrame, cent: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensure(embeddings.sparkSession)
     val centArr = cent.agg(sort_array(collect_list(struct(col("cell"), col("cvec")))).as("cents"))
@@ -45,34 +108,57 @@ object AnnIndex {
       .select(col("vec_id"), (-col("best.ncell")).as("cell"), col("embedding"))
   }
 
+  /** Assignment under the default first-`nCells` seed rule. */
+  def assign(embeddings: DataFrame, nCells: Int): DataFrame =
+    assignTo(embeddings,
+      embeddings.where(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+
   /** One Lloyd step: element-wise mean of each cell's members becomes the
     * new centroid. Distributed via posexplode to (cell, dim) keyed rows —
     * partial aggregation combines map-side, so the shuffle carries at most
     * nCells × dim partial sums per task regardless of table size. Index
-    * build is an offline job; this is its only shuffle.
+    * build is an offline job; this is its only shuffle. A cell that loses
+    * all members keeps its previous centroid (left join + coalesce), so the
+    * cell count never silently shrinks between iterations.
     */
-  def lloydStep(embeddings: DataFrame, cent: DataFrame): DataFrame =
-    assignTo(embeddings, cent)
+  def lloydStep(embeddings: DataFrame, cent: DataFrame): DataFrame = {
+    val means = assignTo(embeddings, cent)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim")).agg(avg(col("v").cast("double")).as("m"))
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(named_struct('dim', dim, 'm', m)))," +
-        " x -> cast(x.m as float))").as("cvec"))
+        " x -> cast(x.m as float))").as("mvec"))
+    cent.select(col("cell"), col("cvec"))
+      .join(means, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+  }
 
-  /** Seeded with the first `nCells` vectors, refined by `iters` Lloyd steps. */
+  /** Farthest-first seeds refined by `iters` Lloyd steps. */
   def kmeansCentroids(embeddings: DataFrame, nCells: Int, iters: Int): DataFrame =
-    (1 to iters).foldLeft(centroids(embeddings, nCells))((c, _) => lloydStep(embeddings, c))
+    (1 to iters).foldLeft(seedCentroids(embeddings, nCells))((c, _) => lloydStep(embeddings, c))
 
   private def centroidsDir(indexDir: String) = s"$indexDir/_centroids"
+  def cellsDir(indexDir: String): String     = s"$indexDir/cells"
+  private def commitMarker(indexDir: String) = s"$indexDir/_committed"
 
-  /** Build and persist, partitioned by cell (partition pruning = probe).
-    * The centroid table ships WITH the index (underscore-prefixed dir, so
-    * parquet readers of the cells skip it) — probes must use the exact
-    * centroids the cells were assigned under, not a re-derivation.
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Build and persist: `indexDir/_centroids` (the tiny centroid table),
+    * `indexDir/cells` (the assignment, partitioned by cell — partition
+    * pruning = probe), and a `_committed` marker written LAST. The marker is
+    * deleted before any write starts, so a crash at ANY point mid-build —
+    * including between the centroid and cell writes, which would otherwise
+    * leave cells pruned under centroids they weren't assigned under — leaves
+    * an index that `search` refuses with a clear error instead of silently
+    * losing recall.
     */
   def build(embeddings: DataFrame, indexDir: String, nCells: Int = 16,
-      refineIters: Int = 0): Unit = {
+      refineIters: Int = 2): Unit = {
     val spark = embeddings.sparkSession
+    val fs = fsOf(spark, indexDir)
+    fs.delete(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), false)
     // Materialize the centroids ONCE (nCells rows): Lloyd's avg() merges
     // partial sums in shuffle-fetch order, so two lazy evaluations of the
     // same plan could round a boundary assignment differently — the cells
@@ -81,35 +167,37 @@ object AnnIndex {
     val centRows = centPlan.collect()
     val cent = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows.toIndexedSeq, 1), centPlan.schema)
-    assignTo(embeddings, cent)
-      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
     cent.write.mode("overwrite").parquet(centroidsDir(indexDir))
+    assignTo(embeddings, spark.read.parquet(centroidsDir(indexDir)))
+      .write.mode("overwrite").partitionBy("cell").parquet(cellsDir(indexDir))
+    fs.create(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), true).close()
   }
 
   /** Probe the persisted index: only `nprobe` cell partitions are scanned.
-    * Probes use the centroid table persisted with the index; indexes written
-    * before centroids were persisted fall back to the deterministic
-    * first-`nCells` derivation (which is what built them).
+    * Probes use the centroid table persisted with the index; a missing
+    * commit marker means a build died mid-write and fails fast — silently
+    * probing cells under re-derived or mismatched centroids could prune the
+    * wrong cells and lose recall.
     */
   def search(spark: SparkSession, indexDir: String, embeddings: DataFrame,
-      queryVecId: Long, nCells: Int = 16, nprobe: Int = 4, k: Int = 10): DataFrame = {
+      queryVecId: Long, nprobe: Int = 4, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.ensure(spark)
     val q = embeddings.where(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
-    val centPath = new org.apache.hadoop.fs.Path(centroidsDir(indexDir))
-    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cent =
-      if (fs.exists(centPath)) spark.read.parquet(centroidsDir(indexDir))
-      else centroids(embeddings, nCells)
+    require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
+      s"AnnIndex.search: no commit marker at ${commitMarker(indexDir)} — the index at " +
+        s"$indexDir is from an incomplete build (centroid/cell writes may disagree); rebuild it")
+    val cent = spark.read.parquet(centroidsDir(indexDir))
     val probeCells = cent.crossJoin(broadcast(q))
       .withColumn("qdot", dot("cvec", "qvec"))
       .orderBy(desc("qdot"), asc("cell")).limit(nprobe)
       .select(col("cell")).collect().map(_.getLong(0))
-    spark.read.parquet(indexDir)
+    spark.read.parquet(cellsDir(indexDir))
       .where(col("cell").isin(probeCells: _*)) // partition-pruned scan
       .crossJoin(broadcast(q))
       .withColumn("score_exact", dot("embedding", "qvec"))
       .orderBy(desc("score_exact"), asc("vec_id")).limit(k)
-      .select(col("vec_id"), col("cell"), round(col("score_exact"), 4).as("score"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(col("score_exact"), 4).as("score"))
   }
 
   /** Exact brute-force top-k (recall baseline). */

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *   compiles to a broadcast of the 1-row query vector + a codegen'd array
   *   fold + TakeOrderedAndProject (no shuffle of the big side).
   * - q_ann_ivf: the scale path — IVF with inner-product assignment. Vectors
-  *   are partitioned into cells by nearest centroid (centroids = first 8
-  *   vectors, broadcast); the query probes its top-2 cells and only those
-  *   candidates are scored. At 100 TB the assignment is a one-off bucketing
-  *   write and probing touches ~nprobe/ncells of the data.
+  *   are partitioned into nCells = ceil(sqrt(n)) cells by nearest centroid
+  *   (the classical IVF balance point: ~sqrt(n) cells of ~sqrt(n) vectors
+  *   keeps probe cost ~nprobe*sqrt(n); a literal 8 would stop pruning the
+  *   moment the corpus grows). Centroids broadcast; the query probes its
+  *   top-2 cells and only those candidates are scored. At 100 TB the
+  *   assignment is a one-off bucketing write and probing touches
+  *   ~nprobe/nCells of the data.
   */
 object SimilarityOps {
 
@@ -26,6 +29,14 @@ object SimilarityOps {
     s"list_aggregate(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
   private def duckNrm(c: String) =
     s"sqrt(list_aggregate(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+  // nCells derived from corpus size (ceil(sqrt(n))) with the SAME formula on
+  // both engines, so the cell layout — and therefore every probe-bounded
+  // result — stays oracle-identical at every SF. The count() is a parquet
+  // metadata read, not a scan.
+  private val nCellsDuck = "CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)"
+  private def nCellsOf(e: org.apache.spark.sql.DataFrame): Int =
+    math.ceil(math.sqrt(e.count().toDouble)).toInt
 
   val ops: Seq[Op] = Seq(
 
@@ -47,7 +58,7 @@ object SimilarityOps {
     },
 
     Op("q_ann_ivf",
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $nCellsDuck),
          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
          |assign AS (
          |  SELECT vec_id, cid FROM (
@@ -68,7 +79,7 @@ object SimilarityOps {
          |ORDER BY ${duckDotAB("e.embedding", "q.qvec")} DESC, e.vec_id LIMIT 5""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.ensure(s)
       val e = Tables.embeddings(s, dir)
-      val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cent = e.where(col("vec_id") < nCellsOf(e)).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
 
       // Map-side argmax (shared fold in AnnIndex.assignTo): no explode, no
@@ -98,7 +109,7 @@ object SimilarityOps {
     // cell partitioning the ANN index uses serves dedup for free. Exact
     // cosine verifies candidates; top-20 reported.
     Op("q_embed_neardup_cells",
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $nCellsDuck),
          |assign AS (
          |  SELECT vec_id, cid, embedding FROM (
          |    SELECT e.vec_id, c.cid, e.embedding,
@@ -116,7 +127,7 @@ object SimilarityOps {
          |LIMIT 20""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.ensure(s)
       val e = Tables.embeddings(s, dir)
-      val cent = e.where(col("vec_id") < 8).select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+      val cent = e.where(col("vec_id") < nCellsOf(e)).select(col("vec_id").as("cell"), col("embedding").as("cvec"))
       val assign = AnnIndex.assignTo(e, cent)
         .select(col("vec_id"), col("cell").as("cid"), col("embedding"),
           expr(nrm("embedding")).as("vnorm")) // per-row norm rides the join

@@ -44,4 +44,30 @@ class VecDotSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("vec_dot null semantics match the HOF form: null element -> null, null array -> null") {
+    GraftFunctions.ensure(spark)
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, null)),
+      (null, Array[java.lang.Float](1.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f, 3.0f), Array[java.lang.Float](4.0f, 5.0f, 6.0f))
+    ).toDF("a", "b")
+    val out = df.select(expr("vec_dot(a, b)").as("native"), expr(hof).as("portable")).collect()
+    for (r <- out) {
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+    assert(out.take(3).forall(_.isNullAt(0)))
+    assert(out(3).getDouble(0) == 32.0)
+  }
+
+  test("vec_dot arity is validated at registration-builder level") {
+    GraftFunctions.ensure(spark)
+    val df = Seq((Array(1.0f), Array(2.0f))).toDF("a", "b")
+    val e1 = intercept[Exception] { df.select(expr("vec_dot(a)")).collect() }
+    assert(e1.getMessage.contains("2 arguments"), e1.getMessage)
+    val e2 = intercept[Exception] { df.select(expr("vec_dot(a, b, a)")).collect() }
+    assert(e2.getMessage.contains("2 arguments"), e2.getMessage)
+  }
 }
