@@ -34,28 +34,72 @@ object Checkpoint {
 
   def groupOf(numGroups: Int) = pmod(xxhash64(col("doc_id")), lit(numGroups.toLong))
 
-  private def doneGroups(spark: SparkSession, outDir: String): Set[Long] = {
-    val path = new org.apache.hadoop.fs.Path(lineageDir(outDir))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Set.empty
-    else spark.read.parquet(lineageDir(outDir))
-      .select("grp").distinct().collect().map(_.getLong(0)).toSet
+  /** The writer seam (SURVEY §7.1): Iceberg-style per-group commit. A real
+    * Iceberg catalog slots in by implementing `overwriteGroup` as
+    * MERGE/overwrite-partition and `commitGroup` as the snapshot commit that
+    * appends the group's lineage rows; `doneGroups` reads the lineage table.
+    * The contract `runResumable` relies on:
+    *  - `overwriteGroup` is idempotent and all-or-nothing per group (a
+    *    killed write leaves nothing visible; a re-run replaces, never
+    *    appends);
+    *  - `commitGroup` runs strictly AFTER the group's data is durable — its
+    *    lineage append IS the commit marker;
+    *  - `doneGroups` returns exactly the groups whose `commitGroup` landed.
+    */
+  trait SpanWriter {
+    def doneGroups(): Set[Long]
+    def overwriteGroup(grp: Long, spans: DataFrame): Unit
+    def commitGroup(grp: Long, lineage: DataFrame): Unit
   }
 
-  /** Run (or resume) an extraction. Returns the number of groups processed
-    * in THIS invocation. `maxGroups` limits work for kill-simulation tests.
+  /** Default writer: plain parquet (the local jars carry no Iceberg
+    * runtime). Dynamic partition-overwrite gives the per-group atomicity;
+    * the lineage append is the commit marker.
+    */
+  final class ParquetSpanWriter(spark: SparkSession, outDir: String) extends SpanWriter {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    override def doneGroups(): Set[Long] = {
+      val path = new org.apache.hadoop.fs.Path(lineageDir(outDir))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) Set.empty
+      else spark.read.parquet(lineageDir(outDir))
+        .select("grp").distinct().collect().map(_.getLong(0)).toSet
+    }
+
+    override def overwriteGroup(grp: Long, spans: DataFrame): Unit =
+      spans.withColumn("grp", lit(grp))
+        .write.mode(SaveMode.Overwrite).partitionBy("grp").parquet(spansDir(outDir))
+
+    override def commitGroup(grp: Long, lineage: DataFrame): Unit =
+      lineage.withColumn("grp", lit(grp))
+        .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+  }
+
+  /** Run (or resume) an extraction against the default parquet writer.
+    * Returns the number of groups processed in THIS invocation. `maxGroups`
+    * limits work for kill-simulation tests.
     */
   def runResumable(
       docs: Dataset[Doc],
       outDir: String,
       cfg: ExtractJob.Config = ExtractJob.Config(),
       numGroups: Int = 8,
-      maxGroups: Int = Int.MaxValue): Int = {
+      maxGroups: Int = Int.MaxValue): Int =
+    runResumable(docs, new ParquetSpanWriter(docs.sparkSession, outDir),
+      cfg, numGroups, maxGroups)
+
+  /** Run (or resume) an extraction against an arbitrary [[SpanWriter]]. */
+  def runResumable(
+      docs: Dataset[Doc],
+      writer: SpanWriter,
+      cfg: ExtractJob.Config,
+      numGroups: Int,
+      maxGroups: Int): Int = {
     val spark = docs.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val done = doneGroups(spark, outDir)
+    val done = writer.doneGroups()
     val todo = (0L until numGroups.toLong).filterNot(done).take(maxGroups)
     val withGrp = docs.toDF().withColumn("grp", groupOf(numGroups))
 
@@ -65,15 +109,13 @@ object Checkpoint {
       // actions over the same kernel output — without the persist each group
       // would be extracted twice.
       val (spans, lineage, unpersist) = ExtractJob.extractWithLineageCached(slice, cfg)
-      spans.toDF().withColumn("grp", lit(g))
-        .write.mode(SaveMode.Overwrite).partitionBy("grp").parquet(spansDir(outDir))
+      writer.overwriteGroup(g, spans.toDF())
       // The lineage append IS the commit marker, so it must be non-empty even
       // for a zero-doc group: a synthetic partition_id=-1 marker row makes
       // empty groups durably "done" (otherwise every resume re-runs them).
       val marker = spark.createDataset(Seq(
         graft.model.Lineage(-1, 0L, 0L, 0L, "marker")))
-      lineage.union(marker).toDF().withColumn("grp", lit(g))
-        .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+      writer.commitGroup(g, lineage.union(marker).toDF())
       unpersist()
     }
     todo.size

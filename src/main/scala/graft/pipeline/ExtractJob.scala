@@ -27,7 +27,8 @@ object ExtractJob {
   final case class Config(
       mode: ExtractMode = ExtractMode.ChunkMode,
       numPartitions: Int = 0,     // 0 => session shuffle partitions
-      saltFactor: Int = 0)        // 0 => numPartitions (full spread of giant buckets)
+      saltFactor: Int = 0,        // 0 => numPartitions (full spread of giant buckets)
+      giantMinChars: Long = 1024) // rows above this size get their own exchange
 
   /** Size bucket = log4(totalChars); giant docs land in their own buckets. */
   def withSizeBucket(docs: Dataset[Doc]): DataFrame =
@@ -107,8 +108,7 @@ object ExtractJob {
     if (sys.env.contains("SPARK_GRAFT_FULL_SHUFFLE")) {
       // round-1 shape (kept for A/B): salt-repartition EVERY row
       val est = repl.as[(String, String)].map { case (id, t) =>
-        val giant = math.floorMod(graft.sources.DocSynth.hashOf(id), 97) == 0
-        (id, t, giant)
+        (id, t, graft.sources.DocSynth.giantOf(id))
       }.toDF("doc_id", "text", "giant")
       est.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salt.toLong)))
         .repartition(parts, col("giant"), col("salt"))
@@ -117,27 +117,63 @@ object ExtractJob {
           Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
         })
     } else {
-      // Skew-targeted exchange (round-2): normal docs are ALREADY evenly
-      // spread (scan splits on a real table; the small base repartition
-      // here), so only the ~1% giant docs move — hashed across `parts`
-      // tasks so no task serializes a run of 40x documents. Cuts the
-      // expensive post-explode shuffle from 100% of bytes to ~1% (the
-      // one-disk shuffle bottleneck in BASELINE.md), and classification is
-      // FUSED into each branch's single typed stage, so normal rows make
-      // exactly one Tungsten->JVM round-trip (the round-1 plan made two).
-      val giantOf = (id: String) => math.floorMod(graft.sources.DocSynth.hashOf(id), 97) == 0
-      val normals = repl.as[(String, String)].mapPartitions(_.collect {
-        case (id, t) if !giantOf(id) => Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
-      })
-      val giants = repl.as[(String, String)].mapPartitions(_.filter(r => giantOf(r._1)))
-        .toDF("doc_id", "text")
-        .repartition(parts, col("doc_id")) // replica ids differ -> even spread
-        .as[(String, String)]
-        .mapPartitions(_.map { case (id, t) =>
-          Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
-        })
-      normals.union(giants)
+      // The synthesizer predicting its own output size, as a pure Catalyst
+      // column: DocSynth.giantOf IS pmod(xxhash64(doc_id), 97) == 0 and its
+      // inflation adds exactly 40·len + 190 chars. On a real table this
+      // whole projection collapses to the table's own length/n_chars column
+      // — the routing below never consults the synthetic rule.
+      val est = repl.withColumn("n_chars",
+        when(pmod(xxhash64(col("doc_id")), lit(97L)) === 0L,
+          length(col("text")).cast("long") * 40L + 190L)
+          .otherwise(length(col("text")).cast("long")))
+      // inflate multiplies every doc, giants included — scale the routing
+      // threshold with it so the giant/normal split point stays between the
+      // two populations
+      extractRaw(est, cfg.copy(giantMinChars = cfg.giantMinChars * math.max(inflate, 1)))
     }
+  }
+
+  /** Skew-targeted extraction over an observable raw table
+    * `(doc_id, text, n_chars)` — the shape a real 100 TB deployment feeds
+    * in, where `n_chars` is just `length(text)` (or the table's own size
+    * column). Routing is purely a property of the row:
+    *
+    *  - rows with `n_chars <= cfg.giantMinChars` ride their scan/input
+    *    partitions (already evenly spread by the source's splits) and make
+    *    exactly ONE Tungsten→JVM round-trip — classification is fused into
+    *    the typed kernel stage's filter;
+    *  - rows above the threshold get their own hash exchange across `parts`
+    *    tasks, so no task serializes a run of 40× documents. This cuts the
+    *    post-explode shuffle from 100% of bytes (round-1 full salting) to
+    *    the giant ~1% — the one-disk shuffle bottleneck in BASELINE.md.
+    *
+    * Tradeoff (deliberate): the two branches each scan the input once. On
+    * this synthetic source a scan is a few MB of parquet; on a real table,
+    * either persist the raw projection or accept 2× input I/O — both beat
+    * shuffling 100% of the bytes through one disk. Misclassification is
+    * only ever a performance matter, not correctness: both branches run the
+    * identical kernel.
+    */
+  def extractRaw(raw: DataFrame, cfg: Config = Config()): Dataset[Doc] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val parts =
+      if (cfg.numPartitions > 0) cfg.numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val mode = cfg.mode
+    val normals = raw.where(col("n_chars") <= cfg.giantMinChars)
+      .select(col("doc_id"), col("text")).as[(String, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
+      })
+    val giants = raw.where(col("n_chars") > cfg.giantMinChars)
+      .select(col("doc_id"), col("text"))
+      .repartition(parts, col("doc_id")) // distinct ids -> even spread
+      .as[(String, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
+      })
+    normals.union(giants)
   }
 
   /** One-pass extraction that also yields per-partition lineage rows.

@@ -22,11 +22,27 @@ object DocSynth {
 
   def hashOf(docId: String): Int = MurmurHash3.stringHash(docId)
 
+  /** Giant-doc selection: `pmod(xxhash64(doc_id), 97) == 0` — deliberately
+    * the exact hash Spark SQL's `xxhash64(col)` computes (seed 42), so the
+    * pipeline can estimate the synthesizer's output size as a pure Catalyst
+    * column (no UDF) and route rows by OBSERVABLE size, never by this rule.
+    */
+  def giantOf(docId: String): Boolean =
+    math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(docId),
+        org.apache.spark.sql.types.StringType, 42L), 97L) == 0L
+
+  /** Exact character count of `synthDoc`'s inflated giant body:
+    * Σ_{i=0..39} (len + len(" #") + digits(i) + len(" ")) = 40·len + 190.
+    */
+  def giantLen(textLen: Long): Long = 40L * textLen + 190L
+
   def synthDoc(docId: String, text: String): Doc = {
     val h = hashOf(docId)
     def pick(m: Int): Int = math.floorMod(h, m)
 
-    val body = if (pick(97) == 0) {
+    val body = if (giantOf(docId)) {
       // giant skewed doc: deterministic inflation
       val sb = new java.lang.StringBuilder(text.length * 40 + 64)
       var i = 0

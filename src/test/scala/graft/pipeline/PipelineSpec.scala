@@ -93,6 +93,31 @@ class PipelineSpec extends SparkTestBase {
       s"skewed partition loads: ${loads.sorted.reverse.take(3).mkString(",")} vs mean ${loads.sum / loads.length}")
   }
 
+  test("skew routing is observable-size-based: non-hash-selected giants spread") {
+    import org.apache.spark.sql.functions._
+    // Hand-built raw table: ids chosen so NONE are hash-selected giants
+    // (DocSynth.giantOf is false for all), but six rows carry genuinely long
+    // text — on a real table that's the only signal there is.
+    val ids = (0 until 400).map(i => s"doc$i").filterNot(DocSynth.giantOf)
+    val giants = ids.take(6).map(id => (id, "real content words here ok fine " * 200))
+    val normals = ids.drop(6).map(id => (id, "short normal text row"))
+    val raw = (giants ++ normals).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long")) // observable size only
+      .repartition(2) // pretend the source had 2 splits
+    val cfg = ExtractJob.Config(numPartitions = 8)
+    val out = ExtractJob.extractRaw(raw, cfg)
+    // giant rows landed on multiple partitions (their own exchange), and the
+    // output is complete and per-doc correct regardless of routing
+    val giantParts = out.toDF()
+      .select(spark_partition_id().as("pid"), col("doc_id"))
+      .where(col("doc_id").isin(giants.map(_._1): _*))
+      .select("pid").distinct().count()
+    assert(giantParts >= 2, s"giants all serialized on $giantParts partition(s)")
+    val docs = out.collect()
+    assert(docs.length == ids.length)
+    assert(docs.map(_.doc_id).toSet == ids.toSet)
+  }
+
   test("paragraph mode: spans are kernel extract_paragraphs outputs in order") {
     import graft.kernel.{ExtractMode, Paragraphs}
     val docs = DocSynth.docs(spark, sfDir)
