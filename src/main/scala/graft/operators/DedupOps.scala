@@ -332,6 +332,33 @@ object DedupOps {
         .orderBy("doc_a")
     },
 
+    // Benchmark decontamination — the training-pipeline stage that removes
+    // documents overlapping a held-out evaluation set (standard n-gram
+    // overlap rule). Held-out set here = doc_id % 97 == 0; a training doc is
+    // contaminated if it shares ANY 3-gram shingle with it. The at-scale
+    // shape: the benchmark is always tiny next to the corpus, so its
+    // distinct-shingle set BROADCASTS and the check is a map-side hash join
+    // over the exploded training shingles — no shuffle of the corpus.
+    Op("q_decontaminate",
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |  FROM documents WHERE len($toksDuck) >= 3),
+         |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared
+         |FROM train t JOIN bench b ON b.shingle = t.shingle
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sh = shingleSetSpark(s, dir) // barrier'd: one scan feeds both sides
+      val bench = sh.where(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val train = sh.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      train.join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-duplicate scoring between neighboring vectors.
     Op("q_embed_neardup",
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)

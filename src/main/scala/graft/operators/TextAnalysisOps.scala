@@ -110,6 +110,33 @@ object TextAnalysisOps {
     // Token counting: whitespace tokens + BPE-ish regex tokens (word pieces /
     // digit runs / single punctuation — simplified GPT-2 pretokenizer shape,
     // same result under Java regex and RE2).
+    // Intra-document repetition scoring (the Gopher/MassiveText-style
+    // repetition filter): fraction of duplicated 3-gram shingles per doc.
+    // Map-only per-row array math; the division is one double op over two
+    // exact integers, so both engines produce the identical bits.
+    Op("q_repetition",
+      s"""SELECT doc_id, total_ngrams, distinct_ngrams,
+         |       1.0 - CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE) AS dup_frac
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($toksDuck) - 2 AS BIGINT) AS total_ngrams,
+         |    CAST(len(list_distinct(list_transform(generate_series(1, len($toksDuck) - 2),
+         |      i -> array_to_string(($toksDuck)[i:i+2], ' ')))) AS BIGINT) AS distinct_ngrams
+         |  FROM documents WHERE len($toksDuck) >= 3)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) >= 3"))
+        .select(col("doc_id"),
+          expr("cast(size(toks) - 2 as bigint)").as("total_ngrams"),
+          expr("cast(size(array_distinct(transform(sequence(1, size(toks) - 2)," +
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)," +
+            " element_at(toks, i + 2))))) as bigint)").as("distinct_ngrams"))
+        .withColumn("dup_frac",
+          lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams").cast("double"))
+        .orderBy("doc_id")
+    },
+
     Op("q_token_count",
       s"""SELECT doc_id,
          |  CAST(len($toksDuck) AS BIGINT) AS ws_tokens,
