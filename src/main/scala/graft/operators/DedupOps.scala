@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline: exact hash,
@@ -101,6 +102,69 @@ object DedupOps {
       .where(expr("size(toks) >= 3"))
       .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
       .groupBy(col("doc_id")).agg(first(col("sh")).as("sh"))
+
+  /** Verified near-dup pairs — the dedup pipeline's core: LSH candidates
+    * (band equi-join over the barrier'd signature table) → exact n-gram
+    * Jaccard ≥ 0.5. Shared by `q_dedup_pipeline` and `q_dedup_clusters`.
+    */
+  private def verifiedPairsSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val bands = bandsSpark(sigSpark(s, dir))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingleSetSpark(s, dir)
+    val jac = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+      size(array_union(col("x.sh"), col("y.sh"))).cast("double")
+    cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
+      .where(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Connected components over an undirected pair list (`doc_a`, `doc_b`)
+    * by iterative min-label propagation: every node starts labeled with its
+    * own id; each round takes the min of its label and its neighbors'
+    * labels; fixpoint = each node carries its component's min id.
+    *
+    * Scale shape: per round ONE shuffle join (edges ⨝ labels on node id) +
+    * one min-aggregate over a narrow (node, label) table — never a
+    * transitive-closure materialization. Rounds = graph diameter; near-dup
+    * components are shallow (dup chains, not paths), so a handful of rounds
+    * closes 100 TB-scale graphs too. For adversarially long chains swap the
+    * round body for the alternating large-star/small-star steps (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * driver loop and convergence test stay identical. Convergence is
+    * detected by the label sum: labels only ever decrease, so an unchanged
+    * sum means an unchanged labeling — one cheap scalar action per round
+    * (never a data-sized collect). `localCheckpoint` truncates each round's
+    * lineage so the plan doesn't grow with iteration count.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("doc_id"), col("u").as("cluster")).distinct()
+      .localCheckpoint(true)
+    var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNbr = edges.join(labels, edges("v") === labels("doc_id"))
+        .select(edges("u").as("doc_id"), col("cluster"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      val newSum = next.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge within $maxIters rounds")
+    labels
+  }
 
   val ops: Seq[Op] = Seq(
 
@@ -296,20 +360,76 @@ object DedupOps {
          |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
          |ORDER BY keeper, dup""".stripMargin) { (s, dir) =>
-      val bands = bandsSpark(sigSpark(s, dir))
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sh = shingleSetSpark(s, dir)
-      val jac = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
-        size(array_union(col("x.sh"), col("y.sh"))).cast("double")
-      cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
-        .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
-        .where(jac >= 0.5)
-        .select(col("doc_a").as("keeper"), col("doc_b").as("dup"), round(jac, 4).as("jaccard"))
+      verifiedPairsSpark(s, dir)
+        .select(col("doc_a").as("keeper"), col("doc_b").as("dup"), col("jaccard"))
         .orderBy("keeper", "dup")
+    },
+
+    // Dedup CLUSTERS — the step after pair generation that a real dedup run
+    // needs: verified near-dup pairs form a graph whose connected components
+    // are the duplicate groups (keep one doc per component, drop the rest).
+    // A pairwise keeper rule (min of each pair) over-deletes on chains
+    // a–b–c; the component min is the correct single survivor. Spark side:
+    // iterative min-label propagation (see connectedComponents above);
+    // oracle: recursive transitive closure — fine at oracle scale, never
+    // the Spark shape.
+    Op("q_dedup_clusters",
+      s"""WITH RECURSIVE $sigDuckCte,
+         |bands AS (
+         |  $bandsDuckSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |       FROM documents WHERE len($toksDuck) >= 3),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+         |SELECT l.doc_id, l.cluster, CAST(n.sz AS BIGINT) AS cluster_size
+         |FROM lbl l JOIN (SELECT cluster, count(*) AS sz FROM lbl GROUP BY cluster) n
+         |  ON n.cluster = l.cluster
+         |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+      val labels = connectedComponents(verifiedPairsSpark(s, dir))
+      val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+
+    // Paragraph-level exact dedup (the C4/RefinedWeb within-corpus rule:
+    // drop repeated paragraphs/lines, keep the lowest-id occurrence). The
+    // at-scale shape: explode docs to paragraphs (map-only, no synthesis
+    // needed on a real corpus — testdata text is single-line, so line
+    // structure is synthesized by the shared deterministic replace chain),
+    // then ONE shuffle on the paragraph hash with map-side partial
+    // aggregation. Output: one row per distinct paragraph with its keeper
+    // doc and copy count.
+    Op("q_paragraph_dedup",
+      s"""WITH s AS (SELECT doc_id, ${ExtractOps.structureDuck} AS t FROM documents),
+         |paras AS (
+         |  SELECT doc_id, trim(p.para) AS para
+         |  FROM s, LATERAL (SELECT unnest(regexp_split_to_array(t, '\\n{2,}')) AS para) p
+         |  WHERE trim(p.para) <> '')
+         |SELECT md5(para) AS para_hash,
+         |       CAST(min(doc_id) AS BIGINT) AS keeper,
+         |       CAST(count(*) AS BIGINT) AS copies
+         |FROM paras GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val paras = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(transform(split(expr(ExtractOps.structureSpark), "\n{2,}"),
+            p => trim(p)), p => p =!= "")).as("para"))
+      paras.groupBy(md5(col("para")).as("para_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .orderBy("para_hash")
     },
 
     // n-gram Jaccard between neighboring docs (blocked pairs — the pairwise

@@ -15,13 +15,13 @@ import org.apache.spark.sql.functions._
 object ExtractOps {
 
   /** Deterministic line-structure synthesis, shared by Spark + oracle. */
-  private val structureSpark =
+  private[operators] val structureSpark =
     """replace(replace(replace(replace(text,
       |  ' merge ', '-\nmerge '),
       |  ' data ', ' \n\ndata '),
       |  ' join ', ' \r\njoin '),
       |  ' the ', ' \n\n\n\nthe ')""".stripMargin
-  private val structureDuck =
+  private[operators] val structureDuck =
     """replace(replace(replace(replace(text,
       |  ' merge ', '-' || chr(10) || 'merge '),
       |  ' data ', ' ' || chr(10) || chr(10) || 'data '),
@@ -246,7 +246,7 @@ object ExtractOps {
   */
 private[operators] object ParagraphOracles {
 
-  private val structureDuck =
+  private[operators] val structureDuck =
     """replace(replace(replace(replace(text,
       |  ' merge ', '-' || chr(10) || 'merge '),
       |  ' data ', ' ' || chr(10) || chr(10) || 'data '),

@@ -28,6 +28,14 @@ object TextAnalysisOps {
   private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
   private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
 
+  // PII patterns — identical semantics under Java regex and RE2: character
+  // classes, bounded repetition and \b word boundaries only (no lookarounds,
+  // no backrefs). Scrub order matters: emails first, so the address's
+  // host/digits can't be half-eaten by the later phone/IP passes.
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhonePat = """\b555-[0-9]{4}\b"""
+  private val Ipv4Pat  = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
   val ops: Seq[Op] = Seq(
 
     // Deterministic stratified train/val/test split — the assignment every
@@ -146,6 +154,51 @@ object TextAnalysisOps {
         .select(col("doc_id"),
           expr(s"size($toksSpark)").cast("bigint").as("ws_tokens"),
           expr("cast(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) as bigint)").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing — the redaction pass every web-scale training pipeline
+    // runs before tokenization: emails / phone numbers / IPv4 addresses →
+    // typed placeholder tokens, with per-doc match counts for the removal
+    // report. Map-only regexp chain in whole-stage codegen; patterns are
+    // RE2-safe (char classes + \b only, no lookarounds) so Spark's Java
+    // regex and the DuckDB oracle match exactly. The corpus text carries no
+    // PII (word salad), so deterministic synthetic PII is appended in-plan
+    // identically in both engines — the operator under test is the scrub.
+    Op("q_pii_scrub",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' Contact user' || CAST(doc_id % 89 AS VARCHAR) ||
+         |    '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com or call 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || '.' AS pii
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '$EmailPat')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii, '$PhonePat')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(pii, '$Ipv4Pat')) AS INT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '$EmailPat', '<EMAIL>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g'),
+         |    '$Ipv4Pat', '<IP>', 'g') AS scrubbed
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pii = concat(col("text"),
+        lit(" Contact user"), (col("doc_id") % 89).cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"), lit("."))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pii.as("pii"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(EmailPat), lit(0))).cast("int").as("n_emails"),
+          size(regexp_extract_all(col("pii"), lit(PhonePat), lit(0))).cast("int").as("n_phones"),
+          size(regexp_extract_all(col("pii"), lit(Ipv4Pat), lit(0))).cast("int").as("n_ips"),
+          regexp_replace(regexp_replace(regexp_replace(col("pii"),
+            lit(EmailPat), lit("<EMAIL>")),
+            lit(PhonePat), lit("<PHONE>")),
+            lit(Ipv4Pat), lit("<IP>")).as("scrubbed"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Connected-components (dedup clustering) semantics: min-label propagation
+  * must close chains (a–b–c collapses to ONE keeper — the case a pairwise
+  * min rule over-deletes), keep disjoint components apart, and converge in
+  * ~diameter rounds on long paths.
+  */
+class DedupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupOps.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to one component labeled by its min id") {
+    // 1-2, 2-3 and an unrelated pair 10-11
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path (diameter 12) converges, labeled by its min id") {
+    val path = (1L to 12L).sliding(2).map(w => (w(1), w(0))).toSeq // reversed edges
+    val labels = cc(path)
+    assert(labels.keySet == (1L to 12L).toSet)
+    assert(labels.values.toSet == Set(1L))
+  }
+
+  test("empty pair set yields an empty labeling (no iteration blowup)") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("q_dedup_clusters: cluster ids are component minima and sizes add up") {
+    val df = SparkEntryAccess.query("q_dedup_clusters")(spark, sfDir)
+    val rows = df.collect()
+    if (rows.nonEmpty) {
+      // every cluster id is a member of its own cluster (the min rule)
+      val byCluster = rows.groupBy(_.getLong(1))
+      byCluster.foreach { case (cid, members) =>
+        assert(members.map(_.getLong(0)).min == cid)
+        assert(members.forall(_.getLong(2) == members.length))
+      }
+      // clusters are a partition of the paired docs: sizes sum to row count
+      assert(byCluster.values.map(_.length).sum == rows.length)
+    }
+  }
+}
+
+private object SparkEntryAccess {
+  def query(name: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    graft.SparkEntry.queries(name)
+}
