@@ -99,6 +99,57 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     },
 
+    // As-of (backward) join — the time-series operator Spark has no native
+    // form of: each click joins the latest view of the same user with
+    // view.ts <= click.ts. Implemented as the ONE-PASS MERGE, not a join:
+    // union both sides with a type tag, one user-partitioned window carries
+    // the last non-null view forward (ties: views sort before clicks at
+    // equal ts; event_id totalizes the order). One shuffle on user_id, no
+    // inequality join — the naive form is O(clicks x views) per user and
+    // un-broadcastable at scale; this shape is linear and stays linear at
+    // 100 TB. (DuckDB has native ASOF JOIN; the oracle uses the same
+    // union+window SQL instead because ASOF's tie semantics on equal
+    // view timestamps are not pinned down, and the oracle must be
+    // deterministic bit-for-bit.)
+    Op("q_asof_join",
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag,
+        |         CASE WHEN event_type = 'view' THEN value END AS view_value,
+        |         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |w AS (
+        |  SELECT event_id, user_id, ts, value, tag,
+        |    last_value(view_value IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
+        |    last_value(view_ts IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lts
+        |  FROM u)
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, value,
+        |       coalesce(strftime(lts, '%Y-%m-%d %H:%M:%S.%f'), '') AS view_ts,
+        |       coalesce(lv, -1.0) AS view_value
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).where(col("event_type").isin("view", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          when(col("event_type") === "view", 0).otherwise(1).as("tag"),
+          when(col("event_type") === "view", col("value")).as("view_value"),
+          when(col("event_type") === "view", col("ts")).as("view_ts"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("ts"), col("value"), col("tag"),
+          last(col("view_value"), ignoreNulls = true).over(w).as("lv"),
+          last(col("view_ts"), ignoreNulls = true).over(w).as("lts"))
+        .where(col("tag") === 1)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          col("value"),
+          coalesce(date_format(col("lts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("")).as("view_ts"),
+          coalesce(col("lv"), lit(-1.0)).as("view_value"))
+        .orderBy("event_id")
+    },
+
     // Semi-structured parsing (the reference's JSONL feedback source, S7):
     // typed extraction from a JSON string column + aggregation on the
     // extracted field.

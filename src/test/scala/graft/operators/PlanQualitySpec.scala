@@ -131,4 +131,19 @@ class PlanQualitySpec extends SparkTestBase {
       assert(p.contains("ReusedExchange"), p.take(4000))
     }
   }
+
+  test("q_asof_join: one-pass merge - single user_id exchange, no join node") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p.take(4000)) // merge shape, never an inequality join
+    // exactly one hash exchange, keyed by user_id (the window partition)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n" + p.take(4000))
+    assert("Exchange hashpartitioning\\(user_id#\\d+".r.findFirstIn(p).isDefined, p.take(4000))
+  }
+
+  test("q_paragraph_dedup: map-side partial aggregation on the paragraph hash") {
+    val p = plan("q_paragraph_dedup")
+    assert(p.contains("partial_min") || p.contains("partial_count"), p.take(4000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
+  }
 }
