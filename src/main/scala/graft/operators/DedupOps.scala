@@ -432,6 +432,94 @@ object DedupOps {
         .orderBy("para_hash")
     },
 
+    // The full corpus-curation pipeline, composed end-to-end — the chain a
+    // real 100 TB training-data run executes as ONE job: quality gate
+    // (Gopher-ish composite ≥ 0.5) → repetition gate (dup 3-gram fraction
+    // ≤ 0.05) → benchmark decontamination (any shared shingle with the
+    // held-out set, broadcast map-side) → near-dup removal (LSH → Jaccard →
+    // connected components; only each cluster's min-id doc survives) →
+    // deterministic 80/10/10 split assignment. Every stage reuses the
+    // operators proven individually above; the staged shingle/signature
+    // tables are plan-identical across stages, so Spark computes them once
+    // and ReusedExchange feeds the rest.
+    Op("q_curation_pipeline",
+      s"""WITH RECURSIVE $sigDuckCte,
+         |bands AS (
+         |  $bandsDuckSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |        FROM documents WHERE len($toksDuck) >= 3),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN shs x ON x.doc_id = c.doc_a JOIN shs y ON y.doc_id = c.doc_b
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+         |dup_drops AS (
+         |  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u),
+         |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs WHERE doc_id % 97 <> 0) t
+         |  JOIN bench b ON b.shingle = t.shingle),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    (CAST(least(len($toksDuck), 100) AS DOUBLE) / 100.0) * 0.7 +
+         |    (1.0 - CAST(len(list_filter($toksDuck, t -> t IN ('the', 'a'))) AS DOUBLE) /
+         |           CAST(len($toksDuck) AS DOUBLE)) * 0.3 AS quality,
+         |    1.0 - CAST(len(list_distinct($shinglesDuck)) AS DOUBLE) /
+         |          CAST(len($toksDuck) - 2 AS DOUBLE) AS dup_frac
+         |  FROM documents WHERE len($toksDuck) >= 3)
+         |SELECT doc_id, lang, quality,
+         |  CASE WHEN ${h60Duck("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+         |       WHEN ${h60Duck("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM scored
+         |WHERE doc_id % 97 <> 0
+         |  AND quality >= 0.5 AND dup_frac <= 0.05
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND doc_id NOT IN (SELECT doc_id FROM dup_drops)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = shingleSetSpark(s, dir)
+      // near-dup victims: every clustered doc except its component's min
+      val dupDrops = connectedComponents(verifiedPairsSpark(s, dir))
+        .where(col("cluster") =!= col("doc_id")).select(col("doc_id"))
+      val bench = sh.where(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val contaminated = sh.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(bench), "shingle")
+        .select(col("doc_id")).distinct()
+      // toks staged once (inlining split() into the shingle lambda is the
+      // O(L²) per-doc trap), then per-row quality + repetition scoring
+      val words = expr("size(toks)").cast("double")
+      val stops = expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double")
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) >= 3"))
+        .select(col("doc_id"), col("lang"),
+          ((least(expr("size(toks)"), lit(100)).cast("double") / 100.0) * 0.7 +
+            (lit(1.0) - stops / words) * 0.3).as("quality"),
+          (lit(1.0) - expr(s"cast(size(array_distinct($shinglesFromToks)) as double)") /
+            (words - lit(2.0))).as("dup_frac"))
+      scored
+        .where(col("doc_id") % 97 =!= 0 && col("quality") >= 0.5 && col("dup_frac") <= 0.05)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(dupDrops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") < 8, "train")
+            .when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // n-gram Jaccard between neighboring docs (blocked pairs — the pairwise
     // score kernel; LSH above supplies the candidate pairs at scale).
     Op("q_ngram_jaccard",
