@@ -487,28 +487,53 @@ object DedupOps {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |  AND doc_id NOT IN (SELECT doc_id FROM dup_drops)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sh = shingleSetSpark(s, dir)
-      // near-dup victims: every clustered doc except its component's min
-      val dupDrops = connectedComponents(verifiedPairsSpark(s, dir))
-        .where(col("cluster") =!= col("doc_id")).select(col("doc_id"))
-      val bench = sh.where(col("doc_id") % 97 === 0)
-        .select(explode(col("sh")).as("shingle")).distinct()
-      val contaminated = sh.where(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .join(broadcast(bench), "shingle")
-        .select(col("doc_id")).distinct()
-      // toks staged once (inlining split() into the shingle lambda is the
-      // O(L²) per-doc trap), then per-row quality + repetition scoring
-      val words = expr("size(toks)").cast("double")
-      val stops = expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double")
-      val scored = Tables.documents(s, dir)
+      // ONE doc-feature pass feeds every stage. Without this, each stage's
+      // filters specialize its subplan (doc_id predicates push below the
+      // Aggregate barrier), defeating exchange reuse — measured 5 documents
+      // scans re-running tokenize→shingle per branch (13s vs ~4s at sf0.1).
+      // localCheckpoint materializes the narrow (doc_id, lang, counts,
+      // distinct shingles) table exactly once — the thing a real 100 TB run
+      // persists before curation. MinHash is duplicate-insensitive (min over
+      // a multiset ignores repeats), so signatures derive from the DISTINCT
+      // shingle sets with values identical to the oracle's multiset fold.
+      val base = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
         .select(col("doc_id"), col("lang"),
-          ((least(expr("size(toks)"), lit(100)).cast("double") / 100.0) * 0.7 +
-            (lit(1.0) - stops / words) * 0.3).as("quality"),
-          (lit(1.0) - expr(s"cast(size(array_distinct($shinglesFromToks)) as double)") /
-            (words - lit(2.0))).as("dup_frac"))
+          expr("size(toks)").as("n_toks"),
+          expr("size(filter(toks, t -> t IN ('the', 'a')))").as("n_stops"),
+          expr(s"array_distinct($shinglesFromToks)").as("shingles"))
+        .localCheckpoint(true)
+      val sig = base.select(
+        col("doc_id") +: (0 until NumHashes).map(j => expr(mhSpark(j)).as(s"mh$j")): _*)
+      val bands = bandsSpark(sig)
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val jac = size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
+        size(array_union(col("x.shingles"), col("y.shingles"))).cast("double")
+      val pairs = cand.join(base.as("x"), col("x.doc_id") === col("doc_a"))
+        .join(base.as("y"), col("y.doc_id") === col("doc_b"))
+        .where(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // near-dup victims: every clustered doc except its component's min
+      val dupDrops = connectedComponents(pairs)
+        .where(col("cluster") =!= col("doc_id")).select(col("doc_id"))
+      val bench = base.where(col("doc_id") % 97 === 0)
+        .select(explode(col("shingles")).as("shingle")).distinct()
+      val contaminated = base.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .join(broadcast(bench), "shingle")
+        .select(col("doc_id")).distinct()
+      val words = col("n_toks").cast("double")
+      val stops = col("n_stops").cast("double")
+      val scored = base.select(col("doc_id"), col("lang"),
+        ((least(col("n_toks"), lit(100)).cast("double") / 100.0) * 0.7 +
+          (lit(1.0) - stops / words) * 0.3).as("quality"),
+        (lit(1.0) - size(col("shingles")).cast("double") /
+          (words - lit(2.0))).as("dup_frac"))
       scored
         .where(col("doc_id") % 97 =!= 0 && col("quality") >= 0.5 && col("dup_frac") <= 0.05)
         .join(contaminated, Seq("doc_id"), "left_anti")
