@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
       graft.functions.GraftFunctions.vecDotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
+      graft.functions.GraftFunctions.minHashSigsBuilder))
     ext.injectOptimizerRule(_ => NativeHashRule)
   }
 }

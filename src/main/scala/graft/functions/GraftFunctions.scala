@@ -29,6 +29,17 @@ object GraftFunctions {
     Md5Prefix64(children.head)
   }
 
+  private[graft] def minHashSigsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"minhash_sigs requires exactly 2 arguments (array<string>, numHashes literal), got ${children.length}")
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"minhash_sigs numHashes must be an integer literal, got $other")
+    }
+    MinHashSigs(children.head, n)
+  }
+
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(new FunctionIdentifier("vec_dot")))
@@ -41,5 +52,10 @@ object GraftFunctions {
         new FunctionIdentifier("md5prefix64"),
         new ExpressionInfo(classOf[Md5Prefix64].getName, "md5prefix64"),
         md5Prefix64Builder _)
+    if (!reg.functionExists(new FunctionIdentifier("minhash_sigs")))
+      reg.registerFunction(
+        new FunctionIdentifier("minhash_sigs"),
+        new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+        minHashSigsBuilder _)
   }
 }

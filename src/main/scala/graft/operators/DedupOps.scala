@@ -48,7 +48,10 @@ object DedupOps {
   private val NumBands     = 2
   private val RowsPerBand  = 4
   private val NumHashes    = NumBands * RowsPerBand
-  private def mhSpark(j: Int) = s"array_min(transform(shingles, s -> ${h60Spark(s"concat(s, '#$j')")}))"
+  // Spark side: the native one-pass batch fold (functions/MinHashSigs —
+  // bit-identical to the portable per-j form below, which remains the
+  // oracle text; see MinHashSigsSpec for the equality gate)
+  private val mhSparkAll = s"minhash_sigs(shingles, $NumHashes)"
   private def mhDuck(j: Int)  = s"list_min(list_transform(shingles, s -> ${h60Duck(s"s || '#$j'")}))"
 
   /** (band index, band-hash expr) per band — the expression string is valid
@@ -78,19 +81,22 @@ object DedupOps {
        |  FROM (SELECT doc_id, $shinglesDuck AS shingles FROM documents WHERE len($toksDuck) >= 3))""".stripMargin
 
   private def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.GraftFunctions.ensure(s)
     val raw = Tables.documents(s, dir)
       .select(col("doc_id"), expr(toksSpark).as("toks"))
       .where(expr("size(toks) >= 3"))
       .select(col("doc_id"), expr(shinglesFromToks).as("shingles"))
-      .select(col("doc_id") +: (0 until NumHashes).map(j => expr(mhSpark(j)).as(s"mh$j")): _*)
+      .select(col("doc_id"), expr(mhSparkAll).as("sigs"))
     // MATERIALIZE the signature table behind an Aggregate barrier (the
     // q_simhash_pairs pattern): without it, every band branch and both
     // self-join sides re-inline the tokenize→shingle→md5-min fold, scanning
     // documents 4-6x per LSH query. With it, the plan computes signatures
     // ONCE and all other references reuse the exchange — at 100 TB this
-    // narrow (doc_id, mh0..mh7) table is what you'd persist anyway.
-    val aggs = (0 until NumHashes).map(j => first(col(s"mh$j")).as(s"mh$j"))
-    raw.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // narrow (doc_id, mh0..mh7) table is what you'd persist anyway. The
+    // barrier also pins the batch fold to exactly one evaluation before the
+    // per-column extraction below.
+    raw.groupBy(col("doc_id")).agg(first(col("sigs")).as("sigs"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
   }
 
   /** Distinct-shingle-set table behind the same Aggregate barrier — one
@@ -496,6 +502,7 @@ object DedupOps {
       // persists before curation. MinHash is duplicate-insensitive (min over
       // a multiset ignores repeats), so signatures derive from the DISTINCT
       // shingle sets with values identical to the oracle's multiset fold.
+      graft.functions.GraftFunctions.ensure(s)
       val base = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
@@ -504,8 +511,8 @@ object DedupOps {
           expr("size(filter(toks, t -> t IN ('the', 'a')))").as("n_stops"),
           expr(s"array_distinct($shinglesFromToks)").as("shingles"))
         .localCheckpoint(true)
-      val sig = base.select(
-        col("doc_id") +: (0 until NumHashes).map(j => expr(mhSpark(j)).as(s"mh$j")): _*)
+      val sig = base.select(col("doc_id"), expr(mhSparkAll).as("sigs"))
+        .select(col("doc_id") +: (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
       val bands = bandsSpark(sig)
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

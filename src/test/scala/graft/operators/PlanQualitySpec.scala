@@ -117,7 +117,7 @@ class PlanQualitySpec extends SparkTestBase {
   test("q_minhash_lsh_pairs: one documents scan, barrier'd signatures reused") {
     withStaticReuse {
       val p = plan("q_minhash_lsh_pairs")
-      assert(p.contains("first(mh0"), p.take(4000))
+      assert(p.contains("first(sigs"), p.take(4000))
       assert("FileScan".r.findAllIn(p).size == 1, p.take(4000))
       assert(p.contains("ReusedExchange"), p.take(4000))
     }
@@ -126,7 +126,7 @@ class PlanQualitySpec extends SparkTestBase {
   test("q_dedup_pipeline: one scan per signature table (minhash sig + shingle sets)") {
     withStaticReuse {
       val p = plan("q_dedup_pipeline")
-      assert(p.contains("first(mh0") && p.contains("first(sh"), p.take(4000))
+      assert(p.contains("first(sigs") && p.contains("first(sh"), p.take(4000))
       assert("FileScan".r.findAllIn(p).size == 2, p.take(4000))
       assert(p.contains("ReusedExchange"), p.take(4000))
     }
