@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
       graft.functions.GraftFunctions.minHashSigsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
+      graft.functions.GraftFunctions.simHashBitsBuilder))
     ext.injectOptimizerRule(_ => NativeHashRule)
   }
 }

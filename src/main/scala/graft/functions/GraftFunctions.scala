@@ -40,6 +40,17 @@ object GraftFunctions {
     MinHashSigs(children.head, n)
   }
 
+  private[graft] def simHashBitsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"simhash_bits requires exactly 2 arguments (array<bigint>, numBits literal), got ${children.length}")
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"simhash_bits numBits must be an integer literal, got $other")
+    }
+    SimHashBits(children.head, n)
+  }
+
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(new FunctionIdentifier("vec_dot")))
@@ -57,5 +68,10 @@ object GraftFunctions {
         new FunctionIdentifier("minhash_sigs"),
         new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
         minHashSigsBuilder _)
+    if (!reg.functionExists(new FunctionIdentifier("simhash_bits")))
+      reg.registerFunction(
+        new FunctionIdentifier("simhash_bits"),
+        new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+        simHashBitsBuilder _)
   }
 }

@@ -229,15 +229,15 @@ object DedupOps {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_next
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) > 0"))
         .select(col("doc_id"),
           expr(s"transform(array_distinct(toks), t -> ${h60Spark("t")})").as("hashes"))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
-            |  acc + if(2 * size(filter(hashes, h -> shiftright(h, b) % 2 = 1)) >= size(hashes),
-            |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+        // native one-pass majority vote (functions/SimHashBits) — the
+        // portable per-bit fold remains the oracle text above
+        .select(col("doc_id"), expr("simhash_bits(hashes, 32)").as("simhash"))
         // Aggregate barrier: signatures computed once, both join sides reuse
         .groupBy(col("doc_id")).agg(first(col("simhash")).as("simhash"))
       val a = sh.as("a"); val b = sh.as("b")
@@ -270,15 +270,14 @@ object DedupOps {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
       val sh0 = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
         .select(col("doc_id"),
           expr(s"transform(array_distinct($shinglesFromToks), t -> ${h60Spark("t")})").as("hashes"))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) ->
-            |  acc + if(2 * size(filter(hashes, h -> shiftright(h, b) % 2 = 1)) >= size(hashes),
-            |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+        // native one-pass majority vote; portable fold = the oracle text
+        .select(col("doc_id"), expr("simhash_bits(hashes, 60)").as("simhash"))
       // MATERIALIZE the signature table behind an Aggregate barrier: without
       // it, predicate pushdown substitutes the hamming filter's `simhash`
       // references with the full md5 fold and re-evaluates BOTH signatures
