@@ -192,7 +192,7 @@ object AnnIndex {
       .orderBy(desc("qdot"), asc("cell")).limit(nprobe)
       .select(col("cell")).collect().map(_.getLong(0))
     spark.read.parquet(cellsDir(indexDir))
-      .where(col("cell").isin(probeCells: _*)) // partition-pruned scan
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*)) // partition-pruned scan
       .crossJoin(broadcast(q))
       .withColumn("score_exact", dot("embedding", "qvec"))
       .orderBy(desc("score_exact"), asc("vec_id")).limit(k)
