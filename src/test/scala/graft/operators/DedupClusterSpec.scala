@@ -28,6 +28,16 @@ class DedupClusterSpec extends SparkTestBase {
     assert(labels.values.toSet == Set(1L))
   }
 
+  test("pointer jumping: a 200-link chain closes in O(log d) rounds, not 200") {
+    import spark.implicits._
+    val path = (1L to 200L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val (labels, rounds) = DedupOps.connectedComponentsWithStats(path.toDF("doc_a", "doc_b"))
+    assert(labels.collect().map(_.getLong(1)).toSet == Set(1L))
+    // log2(200) ~ 8 doubling rounds + slack + the final proof round; plain
+    // propagation would need ~200
+    assert(rounds <= 14, s"took $rounds rounds")
+  }
+
   test("empty pair set yields an empty labeling (no iteration blowup)") {
     assert(cc(Seq.empty).isEmpty)
   }
