@@ -99,6 +99,33 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     },
 
+    // Top-k per group, LOW-cardinality keys. The textbook row_number window
+    // over PARTITION BY lang is wrong at 100 TB: five languages means five
+    // giant window partitions, each sorted on one task. The scale shape is
+    // a salted two-phase aggregation — per-(lang, salt) local top-3 with a
+    // bounded collect (group/salt members only), then top-3-of-top-3s per
+    // lang over <= salt*3 survivors. No Window node at all (plan-gated);
+    // both aggregations combine map-side. The oracle uses the plain window
+    // form — same rows, different plan, which is the point.
+    Op("q_topk_per_group",
+      """SELECT lang, rnk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+        |              AS BIGINT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      val local = Tables.documents(s, dir)
+        .groupBy(col("lang"), pmod(xxhash64(col("doc_id")), lit(16L)).as("salt"))
+        .agg(expr("slice(array_sort(collect_list(struct(-n_chars AS negn, doc_id))), 1, 3)").as("top"))
+      val global = local.groupBy(col("lang"))
+        .agg(expr("slice(array_sort(flatten(collect_list(top))), 1, 3)").as("top"))
+      global
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("lang"), (col("i") + 1).cast("bigint").as("rnk"),
+          col("t.doc_id").as("doc_id"), (-col("t.negn")).as("n_chars"))
+        .orderBy("lang", "rnk")
+    },
+
     // As-of (backward) join — the time-series operator Spark has no native
     // form of: each click joins the latest view of the same user with
     // view.ts <= click.ts. Implemented as the ONE-PASS MERGE, not a join:

@@ -36,6 +36,26 @@ object TextAnalysisOps {
   private val PhonePat = """\b555-[0-9]{4}\b"""
   private val Ipv4Pat  = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
+  /** The PII scrub chain as a reusable column — the exact expressions
+    * `q_pii_scrub` runs, shared with the streaming surface (stateless, so
+    * identical semantics batch vs stream).
+    */
+  private[graft] def scrubPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(EmailPat), lit("<EMAIL>")),
+      lit(PhonePat), lit("<PHONE>")),
+      lit(Ipv4Pat), lit("<IP>"))
+
+  /** The `q_quality_score` composite over a staged `toks` column, shared
+    * with the streaming surface.
+    */
+  private[graft] def qualityOverToks: org.apache.spark.sql.Column = {
+    val words = expr("size(toks)").cast("double")
+    val stops = expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double")
+    (least(expr("size(toks)"), lit(100)).cast("double") / 100.0) * 0.7 +
+      (lit(1.0) - stops / words) * 0.3
+  }
+
   val ops: Seq[Op] = Seq(
 
     // Deterministic stratified train/val/test split — the assignment every
@@ -195,10 +215,7 @@ object TextAnalysisOps {
           size(regexp_extract_all(col("pii"), lit(EmailPat), lit(0))).cast("int").as("n_emails"),
           size(regexp_extract_all(col("pii"), lit(PhonePat), lit(0))).cast("int").as("n_phones"),
           size(regexp_extract_all(col("pii"), lit(Ipv4Pat), lit(0))).cast("int").as("n_ips"),
-          regexp_replace(regexp_replace(regexp_replace(col("pii"),
-            lit(EmailPat), lit("<EMAIL>")),
-            lit(PhonePat), lit("<PHONE>")),
-            lit(Ipv4Pat), lit("<IP>")).as("scrubbed"))
+          scrubPii(col("pii")).as("scrubbed"))
         .orderBy("doc_id")
     },
 

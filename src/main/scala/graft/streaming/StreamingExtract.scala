@@ -56,6 +56,27 @@ object StreamingExtract {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming corpus curation — the batch curation pipeline's stateless
+    * stages (quality gate, PII scrub) run UNCHANGED on unbounded input
+    * (same Catalyst expressions, shared with `q_quality_score` /
+    * `q_pii_scrub` via TextAnalysisOps), composed with the watermark-
+    * bounded exact dedup. The near-dup/decontamination stages stay batch:
+    * they need corpus-global joins, which is exactly the
+    * bounded-horizon-stream + periodic-batch-compaction split a 100 TB/day
+    * ingest runs.
+    */
+  def curateStream(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame =
+    dedupStream(docs, watermark)
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .where(expr("size(toks) > 0"))
+      .withColumn("quality", graft.operators.TextAnalysisOps.qualityOverToks)
+      .where(col("quality") >= minQuality)
+      .withColumn("scrubbed", graft.operators.TextAnalysisOps.scrubPii(col("text")))
+      .select(col("ts"), col("doc_id"), col("scrubbed"), col("quality"))
+
   /** Per-doc running span counter with explicit state (the incremental
     * lineage counterpart): emits (doc_id, total_spans_so_far) per update.
     */

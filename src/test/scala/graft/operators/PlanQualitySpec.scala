@@ -146,4 +146,11 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_min") || p.contains("partial_count"), p.take(4000))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
   }
+
+  test("q_topk_per_group: salted two-phase aggregation, no Window node") {
+    val p = plan("q_topk_per_group")
+    assert(!p.contains("Window"), p.take(4000)) // low-cardinality window = giant partitions
+    assert(p.contains("partial_collect_list") || "HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      p.take(4000))
+  }
 }

@@ -46,6 +46,28 @@ class StreamingSpec extends SparkTestBase {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "media", 1L, 0L)))
   }
 
+  test("streaming curation: quality gate + PII scrub + dedup compose on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val df = stream.toDS().toDF("ts", "doc_id", "text")
+    val q = StreamingExtract.curateStream(df, minQuality = 0.5, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("curated_out").outputMode("append").start()
+    val longText = Seq.fill(80)("word").mkString(" ") // quality ~0.86
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "d1", s"$longText mail me at bob@corp.example.org or 555-1234"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "d2", "too short"),   // quality ~0.31 -> dropped
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "d3", s"$longText mail me at bob@corp.example.org or 555-1234")) // dup of d1 -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curated_out")
+      .select("doc_id", "scrubbed", "quality").collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getString(0) == "d1")
+    assert(r.getString(1).endsWith("mail me at <EMAIL> or <PHONE>"), r.getString(1))
+    assert(r.getDouble(2) >= 0.5)
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, String)]
