@@ -99,6 +99,29 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     },
 
+    // Exact continuous quantiles per group (corpus length distribution —
+    // the stats a curation run reports). Both engines interpolate linearly
+    // over the sorted values from exact integer inputs, so the doubles
+    // match bit-for-bit. At 100 TB you'd switch to approx_percentile
+    // (t-digest, mergeable partial aggs) — exact percentile holds the
+    // group's values; fine per (small) group, documented tradeoff.
+    Op("q_percentiles",
+      """SELECT lang,
+        |       quantile_cont(n_chars, 0.25) AS q25,
+        |       quantile_cont(n_chars, 0.5)  AS q50,
+        |       quantile_cont(n_chars, 0.75) AS q75,
+        |       CAST(count(*) AS BIGINT) AS docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, 0.25D)").as("q25"),
+          expr("percentile(n_chars, 0.5D)").as("q50"),
+          expr("percentile(n_chars, 0.75D)").as("q75"),
+          count(lit(1)).as("docs"))
+        .orderBy("lang")
+    },
+
     // Top-k per group, LOW-cardinality keys. The textbook row_number window
     // over PARTITION BY lang is wrong at 100 TB: five languages means five
     // giant window partitions, each sorted on one task. The scale shape is
