@@ -129,6 +129,96 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
+  /** The curation pipeline's CTE chain, shared by the `q_curation_pipeline`
+    * and `q_curation_funnel` oracles (callers prepend WITH RECURSIVE).
+    */
+  private def curationDuckCtes: String =
+    s"""$sigDuckCte,
+       |bands AS (
+       |  $bandsDuckSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |shs AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+       |        FROM documents WHERE len($toksDuck) >= 3),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN shs x ON x.doc_id = c.doc_a JOIN shs y ON y.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+       |dup_drops AS (
+       |  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u),
+       |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE doc_id % 97 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs WHERE doc_id % 97 <> 0) t
+       |  JOIN bench b ON b.shingle = t.shingle),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    (CAST(least(len($toksDuck), 100) AS DOUBLE) / 100.0) * 0.7 +
+       |    (1.0 - CAST(len(list_filter($toksDuck, t -> t IN ('the', 'a'))) AS DOUBLE) /
+       |           CAST(len($toksDuck) AS DOUBLE)) * 0.3 AS quality,
+       |    1.0 - CAST(len(list_distinct($shinglesDuck)) AS DOUBLE) /
+       |          CAST(len($toksDuck) - 2 AS DOUBLE) AS dup_frac
+       |  FROM documents WHERE len($toksDuck) >= 3)""".stripMargin
+
+  /** Curation's Spark-side stage tables, all derived from ONE checkpointed
+    * doc-feature pass (see the q_curation_pipeline comment for why).
+    */
+  private final case class CurationStages(
+      scored: DataFrame,       // (doc_id, lang, quality, dup_frac)
+      contaminated: DataFrame, // (doc_id)
+      dupDrops: DataFrame)     // (doc_id)
+
+  private def curationStages(s: org.apache.spark.sql.SparkSession, dir: String): CurationStages = {
+    graft.functions.GraftFunctions.ensure(s)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr(toksSpark).as("toks"))
+      .where(expr("size(toks) >= 3"))
+      .select(col("doc_id"), col("lang"),
+        expr("size(toks)").as("n_toks"),
+        expr("size(filter(toks, t -> t IN ('the', 'a')))").as("n_stops"),
+        expr(s"array_distinct($shinglesFromToks)").as("shingles"))
+      .localCheckpoint(true)
+    val sig = base.select(col("doc_id"), expr(mhSparkAll).as("sigs"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
+    val bands = bandsSpark(sig)
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
+      size(array_union(col("x.shingles"), col("y.shingles"))).cast("double")
+    val pairs = cand.join(base.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(base.as("y"), col("y.doc_id") === col("doc_b"))
+      .where(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    // near-dup victims: every clustered doc except its component's min
+    val dupDrops = connectedComponents(pairs)
+      .where(col("cluster") =!= col("doc_id")).select(col("doc_id"))
+    val bench = base.where(col("doc_id") % 97 === 0)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val contaminated = base.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(bench), "shingle")
+      .select(col("doc_id")).distinct()
+    val words = col("n_toks").cast("double")
+    val stops = col("n_stops").cast("double")
+    val scored = base.select(col("doc_id"), col("lang"),
+      ((least(col("n_toks"), lit(100)).cast("double") / 100.0) * 0.7 +
+        (lit(1.0) - stops / words) * 0.3).as("quality"),
+      (lit(1.0) - size(col("shingles")).cast("double") /
+        (words - lit(2.0))).as("dup_frac"))
+    CurationStages(scored, contaminated, dupDrops)
+  }
+
   /** Connected components over an undirected pair list (`doc_a`, `doc_b`)
     * by min-label propagation WITH pointer jumping: every node starts
     * labeled with its own id; each round (1) takes the min of its label and
@@ -463,40 +553,7 @@ object DedupOps {
     // tables are plan-identical across stages, so Spark computes them once
     // and ReusedExchange feeds the rest.
     Op("q_curation_pipeline",
-      s"""WITH RECURSIVE $sigDuckCte,
-         |bands AS (
-         |  $bandsDuckSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |shs AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
-         |        FROM documents WHERE len($toksDuck) >= 3),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN shs x ON x.doc_id = c.doc_a JOIN shs y ON y.doc_id = c.doc_b
-         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-         |dup_drops AS (
-         |  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u),
-         |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE doc_id % 97 = 0),
-         |contaminated AS (
-         |  SELECT DISTINCT t.doc_id
-         |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs WHERE doc_id % 97 <> 0) t
-         |  JOIN bench b ON b.shingle = t.shingle),
-         |scored AS (
-         |  SELECT doc_id, lang,
-         |    (CAST(least(len($toksDuck), 100) AS DOUBLE) / 100.0) * 0.7 +
-         |    (1.0 - CAST(len(list_filter($toksDuck, t -> t IN ('the', 'a'))) AS DOUBLE) /
-         |           CAST(len($toksDuck) AS DOUBLE)) * 0.3 AS quality,
-         |    1.0 - CAST(len(list_distinct($shinglesDuck)) AS DOUBLE) /
-         |          CAST(len($toksDuck) - 2 AS DOUBLE) AS dup_frac
-         |  FROM documents WHERE len($toksDuck) >= 3)
+      s"""WITH RECURSIVE $curationDuckCtes
          |SELECT doc_id, lang, quality,
          |  CASE WHEN ${h60Duck("CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
          |       WHEN ${h60Duck("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
@@ -507,63 +564,55 @@ object DedupOps {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |  AND doc_id NOT IN (SELECT doc_id FROM dup_drops)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // ONE doc-feature pass feeds every stage. Without this, each stage's
-      // filters specialize its subplan (doc_id predicates push below the
-      // Aggregate barrier), defeating exchange reuse — measured 5 documents
-      // scans re-running tokenize→shingle per branch (13s vs ~4s at sf0.1).
-      // localCheckpoint materializes the narrow (doc_id, lang, counts,
-      // distinct shingles) table exactly once — the thing a real 100 TB run
-      // persists before curation. MinHash is duplicate-insensitive (min over
-      // a multiset ignores repeats), so signatures derive from the DISTINCT
-      // shingle sets with values identical to the oracle's multiset fold.
-      graft.functions.GraftFunctions.ensure(s)
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), expr(toksSpark).as("toks"))
-        .where(expr("size(toks) >= 3"))
-        .select(col("doc_id"), col("lang"),
-          expr("size(toks)").as("n_toks"),
-          expr("size(filter(toks, t -> t IN ('the', 'a')))").as("n_stops"),
-          expr(s"array_distinct($shinglesFromToks)").as("shingles"))
-        .localCheckpoint(true)
-      val sig = base.select(col("doc_id"), expr(mhSparkAll).as("sigs"))
-        .select(col("doc_id") +: (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
-      val bands = bandsSpark(sig)
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val jac = size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
-        size(array_union(col("x.shingles"), col("y.shingles"))).cast("double")
-      val pairs = cand.join(base.as("x"), col("x.doc_id") === col("doc_a"))
-        .join(base.as("y"), col("y.doc_id") === col("doc_b"))
-        .where(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      // near-dup victims: every clustered doc except its component's min
-      val dupDrops = connectedComponents(pairs)
-        .where(col("cluster") =!= col("doc_id")).select(col("doc_id"))
-      val bench = base.where(col("doc_id") % 97 === 0)
-        .select(explode(col("shingles")).as("shingle")).distinct()
-      val contaminated = base.where(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .join(broadcast(bench), "shingle")
-        .select(col("doc_id")).distinct()
-      val words = col("n_toks").cast("double")
-      val stops = col("n_stops").cast("double")
-      val scored = base.select(col("doc_id"), col("lang"),
-        ((least(col("n_toks"), lit(100)).cast("double") / 100.0) * 0.7 +
-          (lit(1.0) - stops / words) * 0.3).as("quality"),
-        (lit(1.0) - size(col("shingles")).cast("double") /
-          (words - lit(2.0))).as("dup_frac"))
-      scored
+      // ONE doc-feature pass (localCheckpoint inside curationStages) feeds
+      // every stage. Without it, each stage's doc_id filters specialize its
+      // subplan (they push below the Aggregate barrier), defeating exchange
+      // reuse — measured 5 documents scans re-running tokenize→shingle per
+      // branch (13s vs ~4s at sf0.1). MinHash is duplicate-insensitive, so
+      // signatures derive from the DISTINCT shingle sets with values
+      // identical to the oracle's multiset fold.
+      val st = curationStages(s, dir)
+      st.scored
         .where(col("doc_id") % 97 =!= 0 && col("quality") >= 0.5 && col("dup_frac") <= 0.05)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .join(dupDrops, Seq("doc_id"), "left_anti")
+        .join(st.contaminated, Seq("doc_id"), "left_anti")
+        .join(st.dupDrops, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("quality"),
           when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") < 8, "train")
             .when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") === 8, "val")
             .otherwise("test").as("split"))
         .orderBy("doc_id")
+    },
+
+    // The curation funnel: survivor counts after each cumulative stage —
+    // the removal report every production curation run publishes (what
+    // fraction did quality/repetition/decontamination/dedup each cost?).
+    // All six counts derive from the same checkpointed doc-feature pass.
+    Op("q_curation_funnel",
+      s"""WITH RECURSIVE $curationDuckCtes,
+         |s1 AS (SELECT * FROM scored WHERE doc_id % 97 <> 0),
+         |s2 AS (SELECT * FROM s1 WHERE quality >= 0.5),
+         |s3 AS (SELECT * FROM s2 WHERE dup_frac <= 0.05),
+         |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM dup_drops))
+         |SELECT stage, docs FROM (
+         |  SELECT '0_base' AS stage, CAST(count(*) AS BIGINT) AS docs FROM scored
+         |  UNION ALL SELECT '1_not_benchmark', CAST(count(*) AS BIGINT) FROM s1
+         |  UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM s2
+         |  UNION ALL SELECT '3_repetition', CAST(count(*) AS BIGINT) FROM s3
+         |  UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT) FROM s4
+         |  UNION ALL SELECT '5_deduped', CAST(count(*) AS BIGINT) FROM s5)
+         |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val st = curationStages(s, dir)
+      val s1 = st.scored.where(col("doc_id") % 97 =!= 0)
+      val s2 = s1.where(col("quality") >= 0.5)
+      val s3 = s2.where(col("dup_frac") <= 0.05)
+      val s4 = s3.join(st.contaminated, Seq("doc_id"), "left_anti")
+      val s5 = s4.join(st.dupDrops, Seq("doc_id"), "left_anti")
+      Seq("0_base" -> st.scored, "1_not_benchmark" -> s1, "2_quality" -> s2,
+          "3_repetition" -> s3, "4_decontaminated" -> s4, "5_deduped" -> s5)
+        .map { case (name, df) => df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs")) }
+        .reduce(_ unionByName _)
+        .orderBy("stage")
     },
 
     // n-gram Jaccard between neighboring docs (blocked pairs — the pairwise
