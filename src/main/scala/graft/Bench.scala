@@ -88,7 +88,10 @@ object Bench {
     // 5-20x (BENCH_r02 recorded 199.8s for a ~60s suite) — the official
     // artifact must not depend on landing in a quiet window. min (not mean)
     // because noise is strictly additive.
-    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    // clamp: reps < 1 would make the empty-range .min throw, which the
+    // per-query catch records as -1.0 for EVERY query (a silently-poisoned
+    // official artifact) instead of flagging the bad env var
+    val qreps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try (1 to qreps).map(_ => timeSec(force(fn(spark, sfDir)))).min
         catch { case _: Throwable => -1.0 }

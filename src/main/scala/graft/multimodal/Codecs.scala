@@ -123,6 +123,7 @@ object BmpCodec {
     if (buf.get() != 'B'.toByte || buf.get() != 'M'.toByte) fail("not BM")
     buf.getInt; buf.getShort; buf.getShort
     val dataOffset = buf.getInt
+    if (dataOffset < 54 || dataOffset > bytes.length) fail(s"bad pixel data offset $dataOffset")
     val headerSize = buf.getInt
     if (headerSize < 40) fail(s"unsupported DIB header size $headerSize")
     val width = buf.getInt

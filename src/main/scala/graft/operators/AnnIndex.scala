@@ -38,7 +38,7 @@ object AnnIndex {
     * One distributed pass takes the `sampleSize` vectors with the smallest
     * `xxhash64(vec_id)` (a deterministic "random" sample independent of id
     * order); the greedy then runs driver-side over that ~1 MB sample: start
-    * from the sample vector with the smallest hash, repeatedly add the
+    * from the sampled vector with the smallest vec_id, repeatedly add the
     * vector whose maximum dot with the chosen set is smallest (the
     * farthest-first rule — kmeans++'s D²-sampling with the argmax instead of
     * a draw, so no RNG). Ties break by vec_id. At 100 TB the sample bound
@@ -59,6 +59,8 @@ object AnnIndex {
     }
     val k = math.min(nCells, sample.length)
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val picked = new Array[Boolean](sample.length) // O(1) membership, not an O(k) buffer scan
+    picked(0) = true
     // maxSim(i) = max dot between sample(i) and any chosen seed
     val maxSim = sample.map(v => dotd(v._2, sample.head._2))
     while (chosen.length < k) {
@@ -66,13 +68,18 @@ object AnnIndex {
       var bestSim = Double.MaxValue
       var i = 0
       while (i < sample.length) {
-        if (maxSim(i) < bestSim && !chosen.exists(_._1 == sample(i)._1)) {
+        if (!picked(i) && maxSim(i) < bestSim) {
           bestSim = maxSim(i); best = i
         }
         i += 1
       }
+      // best stays -1 only if every candidate similarity is NaN — fail with
+      // the cause rather than an index error from sample(-1)
+      require(best >= 0,
+        "seedCentroids: no selectable seed (NaN similarities — check embeddings for NaN/Inf values)")
       val next = sample(best)
       chosen += next
+      picked(best) = true
       var j = 0
       while (j < sample.length) {
         val s = dotd(sample(j)._2, next._2)

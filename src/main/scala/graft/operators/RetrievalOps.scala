@@ -278,7 +278,7 @@ object RetrievalOps {
          |  WHERE cum_chars <= 4000)
          |SELECT prompt, n_chunks, CAST(length(prompt) AS BIGINT) AS prompt_chars FROM (
          |  SELECT ${duckLit(PromptPre + PromptQuery + PromptMid)} ||
-         |         string_agg(section, chr(10) ORDER BY chunk_rank) ||
+         |         coalesce(string_agg(section, chr(10) ORDER BY chunk_rank), '') ||
          |         ${duckLit(PromptPost)} AS prompt,
          |         CAST(count(*) AS BIGINT) AS n_chunks
          |  FROM budget)""".stripMargin) { (s, dir) =>

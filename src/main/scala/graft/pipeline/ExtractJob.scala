@@ -154,13 +154,18 @@ object ExtractJob {
     * only ever a performance matter, not correctness: both branches run the
     * identical kernel.
     */
-  def extractRaw(raw: DataFrame, cfg: Config = Config()): Dataset[Doc] = {
-    val spark = raw.sparkSession
+  def extractRaw(raw0: DataFrame, cfg: Config = Config()): Dataset[Doc] = {
+    val spark = raw0.sparkSession
     import spark.implicits._
     val parts =
       if (cfg.numPartitions > 0) cfg.numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val mode = cfg.mode
+    // A NULL size column must not lose the row (both branch predicates would
+    // be NULL → the doc silently vanishes): fall back to the observable
+    // length(text). Misrouting is only ever a performance matter.
+    val raw = raw0.withColumn("n_chars",
+      coalesce(col("n_chars"), length(col("text")).cast("long")))
     val normals = raw.where(col("n_chars") <= cfg.giantMinChars)
       .select(col("doc_id"), col("text")).as[(String, String)]
       .mapPartitions(_.map { case (id, t) =>

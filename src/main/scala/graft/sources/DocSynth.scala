@@ -14,9 +14,10 @@ import scala.util.hashing.MurmurHash3
   * Interleaving: docs are split into 1–4 page spans; ~1/7 of docs get one
   * page HTML-wrapped (with nav/footer boilerplate so SemanticMode has
   * something to strip), ~1/11 get a two-column pdf_layout encoding, ~1/5 get
-  * a media span (image/figure/table) interleaved. A small fraction (h%97==0)
-  * are inflated ~40x to create the skewed "giant doc" population the
-  * north_rule's salting must handle.
+  * a media span (image/figure/table) interleaved. A small fraction
+  * (`pmod(xxhash64(doc_id), 97) == 0` — see `giantOf` below) is inflated
+  * ~40x to create the skewed "giant doc" population the north_rule's
+  * salting must handle.
   */
 object DocSynth {
 

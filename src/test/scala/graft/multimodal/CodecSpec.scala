@@ -52,6 +52,16 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BmpCodec.decode(bad))
   }
 
+  test("BMP: negative/into-header data offsets are rejected, not raw-indexed") {
+    val bytes = BmpCodec.encode(4, 4, Array.fill(16)(0xabcdef))
+    val negOff = bytes.clone
+    negOff(10) = 0; negOff(11) = 0; negOff(12) = 0; negOff(13) = 0x80.toByte // dataOffset = Int.MinValue
+    intercept[IllegalArgumentException](BmpCodec.decode(negOff))
+    val inHeader = bytes.clone
+    inHeader(10) = 10 // points inside the header
+    intercept[IllegalArgumentException](BmpCodec.decode(inHeader))
+  }
+
   test("SniffDecoder: parses real containers, falls back to stub on unknown magic") {
     val wav = WavCodec.encode(16000, 1, Array.tabulate(64)(i => (i * 1024 - 32768).toShort))
     val (rate, bits, frames, hist) = SniffDecoder.decode("audio", wav)

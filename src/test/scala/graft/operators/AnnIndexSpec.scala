@@ -39,6 +39,19 @@ class AnnIndexSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
   }
 
+  test("seeding fails with a clear message on NaN embeddings, not an index error") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(Float.NaN, 1.0f)),
+      (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.seedCentroids(emb, nCells = 2).collect()
+    }
+    assert(e.getMessage.contains("NaN"), e.getMessage)
+  }
+
   test("build commits centroids before cells; search fails fast without them") {
     val root = Files.createTempDirectory("graft-ann-order").toString
     val emb = Tables.embeddings(spark, sfDir)

@@ -118,6 +118,17 @@ class PipelineSpec extends SparkTestBase {
     assert(docs.map(_.doc_id).toSet == ids.toSet)
   }
 
+  test("extractRaw: a NULL n_chars row is routed by length(text), never dropped") {
+    import org.apache.spark.sql.functions._
+    val raw = Seq(
+      ("docA", "tiny row", Some(8L)),
+      ("docB", "size column not populated on this row", None),
+      ("docC", "real content words here ok fine " * 200, None) // giant by length
+    ).toDF("doc_id", "text", "n_chars")
+    val out = ExtractJob.extractRaw(raw, ExtractJob.Config(numPartitions = 4)).collect()
+    assert(out.map(_.doc_id).toSet == Set("docA", "docB", "docC"))
+  }
+
   test("paragraph mode: spans are kernel extract_paragraphs outputs in order") {
     import graft.kernel.{ExtractMode, Paragraphs}
     val docs = DocSynth.docs(spark, sfDir)
