@@ -177,6 +177,43 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     },
 
+    // Language-balanced deterministic subsampling — the training-mix
+    // operator: down-sample the majority language (10% of en), keep half of
+    // everything else. Same hash-threshold rule as the stratified split (no
+    // RNG, stable across runs/engines/partitionings), map-only.
+    Op("q_group_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60Duck("CAST(doc_id AS VARCHAR) || '#sample'")} % 100 <
+         |      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(expr(s"${h60Spark("concat(cast(doc_id as string), '#sample')")} % 100") <
+          when(col("lang") === "en", 10).otherwise(50))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus vocabulary statistics: per-token document frequency (distinct
+    // docs) and collection frequency (total occurrences), the table every
+    // BM25/IDF/stopword decision reads. One explode + one shuffle on the
+    // token with map-side partial aggregation; the df >= 5 floor keeps the
+    // long tail out of the output (and is what you'd push into the agg at
+    // 100 TB).
+    Op("q_vocab_df",
+      s"""SELECT tok,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         |       CAST(count(*) AS BIGINT) AS coll_freq
+         |FROM (SELECT doc_id, unnest($toksDuck) AS tok FROM documents)
+         |GROUP BY tok HAVING count(DISTINCT doc_id) >= 5
+         |ORDER BY tok""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("coll_freq"))
+        .where(col("doc_freq") >= 5)
+        .orderBy("tok")
+    },
+
     // PII scrubbing — the redaction pass every web-scale training pipeline
     // runs before tokenization: emails / phone numbers / IPv4 addresses →
     // typed placeholder tokens, with per-doc match counts for the removal
