@@ -219,6 +219,41 @@ object DedupOps {
     CurationStages(scored, contaminated, dupDrops)
   }
 
+  private def curatedFrom(st: CurationStages): DataFrame =
+    st.scored
+      .where(col("doc_id") % 97 =!= 0 && col("quality") >= 0.5 && col("dup_frac") <= 0.05)
+      .join(st.contaminated, Seq("doc_id"), "left_anti")
+      .join(st.dupDrops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") < 8, "train")
+          .when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  private def funnelFrom(st: CurationStages): DataFrame = {
+    val s1 = st.scored.where(col("doc_id") % 97 =!= 0)
+    val s2 = s1.where(col("quality") >= 0.5)
+    val s3 = s2.where(col("dup_frac") <= 0.05)
+    val s4 = s3.join(st.contaminated, Seq("doc_id"), "left_anti")
+    val s5 = s4.join(st.dupDrops, Seq("doc_id"), "left_anti")
+    Seq("0_base" -> st.scored, "1_not_benchmark" -> s1, "2_quality" -> s2,
+        "3_repetition" -> s3, "4_decontaminated" -> s4, "5_deduped" -> s5)
+      .map { case (name, df) => df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs")) }
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
+
+  /** One shared doc-feature pass → (curated table, funnel report): the
+    * deployed-job entry (CurateMain). Calling the two registry queries
+    * separately builds and executes the checkpoint + LSH + connected-
+    * components DAG twice; this derives both outputs from a single stage
+    * computation.
+    */
+  def curationRun(s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val st = curationStages(s, dir)
+    (curatedFrom(st), funnelFrom(st))
+  }
+
   /** Connected components over an undirected pair list (`doc_a`, `doc_b`)
     * by min-label propagation WITH pointer jumping: every node starts
     * labeled with its own id; each round (1) takes the min of its label and
@@ -571,16 +606,7 @@ object DedupOps {
       // branch (13s vs ~4s at sf0.1). MinHash is duplicate-insensitive, so
       // signatures derive from the DISTINCT shingle sets with values
       // identical to the oracle's multiset fold.
-      val st = curationStages(s, dir)
-      st.scored
-        .where(col("doc_id") % 97 =!= 0 && col("quality") >= 0.5 && col("dup_frac") <= 0.05)
-        .join(st.contaminated, Seq("doc_id"), "left_anti")
-        .join(st.dupDrops, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("quality"),
-          when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") < 8, "train")
-            .when(expr(s"${h60Spark("cast(doc_id as string)")} % 10") === 8, "val")
-            .otherwise("test").as("split"))
-        .orderBy("doc_id")
+      curatedFrom(curationStages(s, dir))
     },
 
     // The curation funnel: survivor counts after each cumulative stage —
@@ -602,17 +628,7 @@ object DedupOps {
          |  UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT) FROM s4
          |  UNION ALL SELECT '5_deduped', CAST(count(*) AS BIGINT) FROM s5)
          |ORDER BY stage""".stripMargin) { (s, dir) =>
-      val st = curationStages(s, dir)
-      val s1 = st.scored.where(col("doc_id") % 97 =!= 0)
-      val s2 = s1.where(col("quality") >= 0.5)
-      val s3 = s2.where(col("dup_frac") <= 0.05)
-      val s4 = s3.join(st.contaminated, Seq("doc_id"), "left_anti")
-      val s5 = s4.join(st.dupDrops, Seq("doc_id"), "left_anti")
-      Seq("0_base" -> st.scored, "1_not_benchmark" -> s1, "2_quality" -> s2,
-          "3_repetition" -> s3, "4_decontaminated" -> s4, "5_deduped" -> s5)
-        .map { case (name, df) => df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs")) }
-        .reduce(_ unionByName _)
-        .orderBy("stage")
+      funnelFrom(curationStages(s, dir))
     },
 
     // n-gram Jaccard between neighboring docs (blocked pairs — the pairwise

@@ -23,11 +23,17 @@ object CurateMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val curated = graft.SparkEntry.queries("q_curation_pipeline")(spark, inDir)
+    // one shared stage computation feeds both outputs (invoking the two
+    // registry queries separately would run the LSH + connected-components
+    // DAG twice)
+    val (curated, funnel) = graft.operators.DedupOps.curationRun(spark, inDir)
     curated.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/curated")
-    val funnel = graft.SparkEntry.queries("q_curation_funnel")(spark, inDir)
-    funnel.write.mode("overwrite").parquet(s"$outDir/funnel")
-    funnel.collect().foreach(r => println(s"[curate] ${r.getString(0)}: ${r.getLong(1)} docs"))
+    // materialize the 6 funnel rows ONCE: print from the collected copy and
+    // write them back as a local DataFrame instead of re-executing the plan
+    val rows = funnel.collect()
+    rows.foreach(r => println(s"[curate] ${r.getString(0)}: ${r.getLong(1)} docs"))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), funnel.schema)
+      .write.mode("overwrite").parquet(s"$outDir/funnel")
     spark.stop()
   }
 }

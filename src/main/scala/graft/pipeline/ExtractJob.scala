@@ -163,9 +163,14 @@ object ExtractJob {
     val mode = cfg.mode
     // A NULL size column must not lose the row (both branch predicates would
     // be NULL → the doc silently vanishes): fall back to the observable
-    // length(text). Misrouting is only ever a performance matter.
-    val raw = raw0.withColumn("n_chars",
-      coalesce(col("n_chars"), length(col("text")).cast("long")))
+    // length(text), and a row where BOTH are NULL routes as an empty doc
+    // (size 0) rather than disappearing. Null text likewise becomes the
+    // empty document — deterministic output, nothing dropped, no NPE in the
+    // typed kernel stage. Misrouting is only ever a performance matter.
+    val raw = raw0
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .withColumn("n_chars",
+        coalesce(col("n_chars"), length(col("text")).cast("long"), lit(0L)))
     val normals = raw.where(col("n_chars") <= cfg.giantMinChars)
       .select(col("doc_id"), col("text")).as[(String, String)]
       .mapPartitions(_.map { case (id, t) =>

@@ -123,10 +123,11 @@ class PipelineSpec extends SparkTestBase {
     val raw = Seq(
       ("docA", "tiny row", Some(8L)),
       ("docB", "size column not populated on this row", None),
-      ("docC", "real content words here ok fine " * 200, None) // giant by length
+      ("docC", "real content words here ok fine " * 200, None), // giant by length
+      ("docD", null.asInstanceOf[String], None) // null text AND size: empty doc, never dropped
     ).toDF("doc_id", "text", "n_chars")
     val out = ExtractJob.extractRaw(raw, ExtractJob.Config(numPartitions = 4)).collect()
-    assert(out.map(_.doc_id).toSet == Set("docA", "docB", "docC"))
+    assert(out.map(_.doc_id).toSet == Set("docA", "docB", "docC", "docD"))
   }
 
   test("paragraph mode: spans are kernel extract_paragraphs outputs in order") {
