@@ -90,8 +90,13 @@ object Bench {
     // because noise is strictly additive.
     // clamp: reps < 1 would make the empty-range .min throw, which the
     // per-query catch records as -1.0 for EVERY query (a silently-poisoned
-    // official artifact) instead of flagging the bad env var
-    val qreps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
+    // official artifact) instead of flagging the bad env var; a non-numeric
+    // value must likewise fail loudly naming the variable, not NFE mid-run
+    val qreps = sys.env.get("SPARK_GRAFT_QUERY_REPS") match {
+      case None => 3
+      case Some(v) => v.toIntOption.map(math.max(1, _)).getOrElse(
+        sys.error(s"SPARK_GRAFT_QUERY_REPS must be an integer, got: '$v'"))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try (1 to qreps).map(_ => timeSec(force(fn(spark, sfDir)))).min
         catch { case _: Throwable => -1.0 }

@@ -175,8 +175,14 @@ object AnnIndex {
     val cent = spark.createDataFrame(
       spark.sparkContext.parallelize(centRows.toIndexedSeq, 1), centPlan.schema)
     cent.write.mode("overwrite").parquet(centroidsDir(indexDir))
+    // STATIC overwrite pinned per-write: a rebuild with fewer cells must
+    // wipe the whole cells/ tree. Under an (inherited) dynamic mode, stale
+    // cell=N partitions from a previous larger index would survive with the
+    // fresh _committed marker, and probes would read vectors assigned under
+    // the old centroids.
     assignTo(embeddings, spark.read.parquet(centroidsDir(indexDir)))
-      .write.mode("overwrite").partitionBy("cell").parquet(cellsDir(indexDir))
+      .write.mode("overwrite").partitionBy("cell")
+      .option("partitionOverwriteMode", "static").parquet(cellsDir(indexDir))
     fs.create(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), true).close()
   }
 

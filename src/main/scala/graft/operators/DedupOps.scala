@@ -271,10 +271,13 @@ object DedupOps {
     * Scale shape: per round TWO shuffle joins over narrow (node, label)
     * tables (edges ⨝ labels, labels ⨝ labels) + one min-aggregate — never a
     * transitive-closure materialization, never a data-sized collect.
-    * Convergence is detected by the label sum: labels only ever decrease,
-    * so an unchanged sum means an unchanged labeling — one cheap scalar
-    * action per round. `localCheckpoint` truncates each round's lineage so
-    * the plan doesn't grow with iteration count.
+    * Convergence is detected by counting rows whose label CHANGED this
+    * round (a co-partitioned join of next against prior labels) — an exact
+    * test. A label-sum comparison would be one join cheaper but wraps mod
+    * 2^64: with arbitrary 64-bit doc_ids a nonzero decrease that happens to
+    * be ≡ 0 (mod 2^64) would falsely read as converged and return an
+    * unconverged labeling. `localCheckpoint` truncates each round's lineage
+    * so the plan doesn't grow with iteration count.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame =
     connectedComponentsWithStats(pairs, maxIters)._1
@@ -288,7 +291,6 @@ object DedupOps {
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("doc_id"), col("u").as("cluster")).distinct()
       .localCheckpoint(true)
-    var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -302,9 +304,10 @@ object DedupOps {
       val next = prop.join(jump, prop("cluster") === jump("j_id"))
         .select(prop("doc_id"), col("j_cluster").as("cluster"))
         .localCheckpoint(true)
-      val newSum = next.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
-      converged = newSum == prevSum
-      prevSum = newSum
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("prev_cluster")), "doc_id")
+        .where(col("cluster") =!= col("prev_cluster")).count()
+      converged = changed == 0L
       labels = next
       it += 1
     }

@@ -57,7 +57,6 @@ object Checkpoint {
     * the lineage append is the commit marker.
     */
   final class ParquetSpanWriter(spark: SparkSession, outDir: String) extends SpanWriter {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     override def doneGroups(): Set[Long] = {
       val path = new org.apache.hadoop.fs.Path(lineageDir(outDir))
@@ -67,9 +66,16 @@ object Checkpoint {
         .select("grp").distinct().collect().map(_.getLong(0)).toSet
     }
 
+    // Overwrite mode is scoped to THIS write (not session conf): a session-
+    // wide dynamic mode would silently change the semantics of every other
+    // partitioned overwrite in the same session — e.g. AnnIndex.build's
+    // static cells/ overwrite, where leaving stale cell=N partitions from a
+    // previous larger index would make probes read vectors assigned under
+    // old centroids.
     override def overwriteGroup(grp: Long, spans: DataFrame): Unit =
       spans.withColumn("grp", lit(grp))
-        .write.mode(SaveMode.Overwrite).partitionBy("grp").parquet(spansDir(outDir))
+        .write.mode(SaveMode.Overwrite).partitionBy("grp")
+        .option("partitionOverwriteMode", "dynamic").parquet(spansDir(outDir))
 
     override def commitGroup(grp: Long, lineage: DataFrame): Unit =
       lineage.withColumn("grp", lit(grp))

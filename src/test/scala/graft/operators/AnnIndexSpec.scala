@@ -39,6 +39,28 @@ class AnnIndexSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
   }
 
+  test("rebuild with fewer cells wipes stale cell partitions, even under dynamic overwrite") {
+    val dir = Files.createTempDirectory("graft-ann-rebuild").toString + "/index"
+    val emb = Tables.embeddings(spark, sfDir)
+    // round-3 advice scenario: some earlier component (e.g. a span writer)
+    // left the session in dynamic partition-overwrite mode; a rebuild at a
+    // smaller nCells must still wipe the whole cells/ tree, or probes would
+    // read stale cell=N vectors assigned under the OLD centroids
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      AnnIndex.build(emb, dir, nCells = 8, refineIters = 0)
+      AnnIndex.build(emb, dir, nCells = 4, refineIters = 0)
+    } finally spark.conf.set(key, prev)
+    val cellDirs = new java.io.File(AnnIndex.cellsDir(dir)).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(cellDirs == 4, s"stale cell partitions survived the rebuild: $cellDirs dirs")
+    val idx = spark.read.parquet(AnnIndex.cellsDir(dir))
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("seeding fails with a clear message on NaN embeddings, not an index error") {
     import spark.implicits._
     val emb = Seq(
