@@ -147,42 +147,48 @@ object ExtractJob {
     *    post-explode shuffle from 100% of bytes (round-1 full salting) to
     *    the giant ~1% — the one-disk shuffle bottleneck in BASELINE.md.
     *
-    * Tradeoff (deliberate): the two branches each scan the input once. On
-    * this synthetic source a scan is a few MB of parquet; on a real table,
-    * either persist the raw projection or accept 2× input I/O — both beat
-    * shuffling 100% of the bytes through one disk. Misclassification is
-    * only ever a performance matter, not correctness: both branches run the
-    * identical kernel.
+    * ONE scan of the input, not two, despite the two branches (the round-3
+    * verdict's #3):
+    *  - when the raw rows arrive through any shared Exchange — the fused
+    *    `extractFromRaw` path, or any caller that repartitioned — the two
+    *    branches reference the SAME canonical exchange, so both static
+    *    `ReuseExchange` (AQE off) and AQE's runtime stage reuse execute the
+    *    scan + exchange once and feed the second branch a `ReusedExchange`
+    *    (plan-gated in `PlanQualitySpec`);
+    *  - when the raw rows come straight off a physical table with a real
+    *    size column, both branch predicates now sit directly on that column
+    *    (no coalesce wrapper), so they PUSH DOWN to the parquet scans and
+    *    row-group/page statistics prune each branch to its own rows: the
+    *    giants scan reads ~1% of the data, the normals scan ~99% — total
+    *    input I/O ≈ 101% of one scan, with no persisted staging copy
+    *    (which at 100 TB would cost more than the re-read it saves). Also
+    *    plan-gated.
+    *
+    * Null handling: a NULL size column routes the row to the NORMALS branch
+    * (`n_chars <= T OR n_chars IS NULL` — pushable, null-keeping) instead of
+    * silently dropping it (both branch predicates NULL) or blocking pushdown
+    * with a length() fallback. NULL text becomes the empty document inside
+    * the branch. Misrouting is only ever a performance matter, not
+    * correctness: both branches run the identical kernel.
     */
-  def extractRaw(raw0: DataFrame, cfg: Config = Config()): Dataset[Doc] = {
-    val spark = raw0.sparkSession
+  def extractRaw(raw: DataFrame, cfg: Config = Config()): Dataset[Doc] = {
+    val spark = raw.sparkSession
     import spark.implicits._
     val parts =
       if (cfg.numPartitions > 0) cfg.numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val mode = cfg.mode
-    // A NULL size column must not lose the row (both branch predicates would
-    // be NULL → the doc silently vanishes): fall back to the observable
-    // length(text), and a row where BOTH are NULL routes as an empty doc
-    // (size 0) rather than disappearing. Null text likewise becomes the
-    // empty document — deterministic output, nothing dropped, no NPE in the
-    // typed kernel stage. Misrouting is only ever a performance matter.
-    val raw = raw0
-      .withColumn("text", coalesce(col("text"), lit("")))
-      .withColumn("n_chars",
-        coalesce(col("n_chars"), length(col("text")).cast("long"), lit(0L)))
-    val normals = raw.where(col("n_chars") <= cfg.giantMinChars)
-      .select(col("doc_id"), col("text")).as[(String, String)]
-      .mapPartitions(_.map { case (id, t) =>
-        Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
-      })
-    val giants = raw.where(col("n_chars") > cfg.giantMinChars)
-      .select(col("doc_id"), col("text"))
-      .repartition(parts, col("doc_id")) // distinct ids -> even spread
+    def kernelStage(rows: DataFrame): Dataset[Doc] = rows
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(String, String)]
       .mapPartitions(_.map { case (id, t) =>
         Extract.extractDoc(graft.sources.DocSynth.synthDoc(id, t), mode)
       })
+    val normals = kernelStage(
+      raw.where(col("n_chars") <= cfg.giantMinChars || col("n_chars").isNull))
+    val giants = kernelStage(
+      raw.where(col("n_chars") > cfg.giantMinChars)
+        .repartition(parts, col("doc_id"))) // distinct ids -> even spread
     normals.union(giants)
   }
 

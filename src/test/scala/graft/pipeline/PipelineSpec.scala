@@ -118,12 +118,12 @@ class PipelineSpec extends SparkTestBase {
     assert(docs.map(_.doc_id).toSet == ids.toSet)
   }
 
-  test("extractRaw: a NULL n_chars row is routed by length(text), never dropped") {
+  test("extractRaw: a NULL n_chars row routes to the normals branch, never dropped") {
     import org.apache.spark.sql.functions._
     val raw = Seq(
       ("docA", "tiny row", Some(8L)),
       ("docB", "size column not populated on this row", None),
-      ("docC", "real content words here ok fine " * 200, None), // giant by length
+      ("docC", "real content words here ok fine " * 200, None), // big but unsized: normals (perf-only misroute)
       ("docD", null.asInstanceOf[String], None) // null text AND size: empty doc, never dropped
     ).toDF("doc_id", "text", "n_chars")
     val out = ExtractJob.extractRaw(raw, ExtractJob.Config(numPartitions = 4)).collect()
