@@ -176,16 +176,32 @@ object DedupOps {
       contaminated: DataFrame, // (doc_id)
       dupDrops: DataFrame)     // (doc_id)
 
-  private def curationStages(s: org.apache.spark.sql.SparkSession, dir: String): CurationStages = {
+  /** The one-pass doc-feature projection every curation stage derives from:
+    * `(doc_id, lang, n_toks, n_stops, shingles)` — exactly the narrow table
+    * a 100 TB curation job persists as its first stage.
+    */
+  def docFeatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    val base = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), expr(toksSpark).as("toks"))
       .where(expr("size(toks) >= 3"))
       .select(col("doc_id"), col("lang"),
         expr("size(toks)").as("n_toks"),
         expr("size(filter(toks, t -> t IN ('the', 'a')))").as("n_stops"),
         expr(s"array_distinct($shinglesFromToks)").as("shingles"))
-      .localCheckpoint(true)
+  }
+
+  private def curationStages(s: org.apache.spark.sql.SparkSession, dir: String): CurationStages =
+    curationStagesFrom(docFeatures(s, dir).localCheckpoint(true))
+
+  /** Stage tables over an already-materialized doc-feature table. The
+    * caller decides the staging medium: the in-query registry form uses
+    * `localCheckpoint(true)` (fast, but its blocks die with an executor);
+    * the deployed job (`curationRunStaged`) persists the table to durable
+    * storage first, so a lost executor — or a killed job — recomputes
+    * nothing upstream of the features.
+    */
+  private def curationStagesFrom(base: DataFrame): CurationStages = {
     val sig = base.select(col("doc_id"), expr(mhSparkAll).as("sigs"))
       .select(col("doc_id") +: (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
     val bands = bandsSpark(sig)
@@ -230,16 +246,36 @@ object DedupOps {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Per-stage drop reason strings — shared verbatim by the Spark funnel
+    * and the DuckDB oracle (hash-compared, so they must match exactly).
+    */
+  private val funnelReasons: Seq[(String, String)] = Seq(
+    "0_base"            -> "tokenizable corpus (>= 3 tokens)",
+    "1_not_benchmark"   -> "benchmark holdout member",
+    "2_quality"         -> "quality score below 0.5",
+    "3_repetition"      -> "duplicate 3-gram fraction above 0.05",
+    "4_decontaminated"  -> "shares a shingle with the benchmark set",
+    "5_deduped"         -> "non-keeper in a near-dup cluster")
+
   private def funnelFrom(st: CurationStages): DataFrame = {
     val s1 = st.scored.where(col("doc_id") % 97 =!= 0)
     val s2 = s1.where(col("quality") >= 0.5)
     val s3 = s2.where(col("dup_frac") <= 0.05)
     val s4 = s3.join(st.contaminated, Seq("doc_id"), "left_anti")
     val s5 = s4.join(st.dupDrops, Seq("doc_id"), "left_anti")
-    Seq("0_base" -> st.scored, "1_not_benchmark" -> s1, "2_quality" -> s2,
+    val counts = Seq("0_base" -> st.scored, "1_not_benchmark" -> s1, "2_quality" -> s2,
         "3_repetition" -> s3, "4_decontaminated" -> s4, "5_deduped" -> s5)
       .map { case (name, df) => df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs")) }
       .reduce(_ unionByName _)
+    // dropped = previous stage's count minus this one; the window sees
+    // exactly the 6 funnel rows, never data-sized input
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
+    val reason = funnelReasons.foldLeft(lit(null).cast("string")) {
+      case (acc, (stage, r)) => when(col("stage") === stage, r).otherwise(acc)
+    }
+    counts
+      .withColumn("dropped", coalesce(lag(col("docs"), 1).over(w) - col("docs"), lit(0L)))
+      .withColumn("reason", reason)
       .orderBy("stage")
   }
 
@@ -251,6 +287,35 @@ object DedupOps {
     */
   def curationRun(s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
     val st = curationStages(s, dir)
+    (curatedFrom(st), funnelFrom(st))
+  }
+
+  /** Deployed-job curation (CurateMain): the doc-feature table is staged to
+    * DURABLE storage (parquet + commit marker written strictly after the
+    * data), and every downstream stage reads the staged copy. Contrast with
+    * the in-query `localCheckpoint(true)` form: localCheckpoint blocks die
+    * with an executor, so at 100 TB a single lost executor would kill the
+    * job instead of recomputing — the staged table costs one extra
+    * write/read of the narrow feature projection and removes that failure
+    * mode entirely. Resume semantics: a present marker means the feature
+    * write committed — the input is not touched again (tested by resuming
+    * against a deleted input dir); an absent marker (crash mid-write) means
+    * the partial stage is ignored and rewritten. Everything downstream is a
+    * pure function of the staged table, so a re-run after any crash
+    * converges to identical output.
+    */
+  def curationRunStaged(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      stageDir: String): (DataFrame, DataFrame) = {
+    val featDir = s"$stageDir/features"
+    val marker = new org.apache.hadoop.fs.Path(s"$stageDir/_features_done")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      docFeatures(s, dir).write.mode("overwrite").parquet(featDir)
+      fs.create(marker, true).close()
+    }
+    val st = curationStagesFrom(s.read.parquet(featDir))
     (curatedFrom(st), funnelFrom(st))
   }
 
@@ -623,7 +688,10 @@ object DedupOps {
          |s3 AS (SELECT * FROM s2 WHERE dup_frac <= 0.05),
          |s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
          |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM dup_drops))
-         |SELECT stage, docs FROM (
+         |SELECT stage, docs,
+         |  CAST(coalesce(lag(docs) OVER (ORDER BY stage) - docs, 0) AS BIGINT) AS dropped,
+         |  CASE stage ${funnelReasons.map { case (st, r) => s"WHEN '$st' THEN '$r'" }.mkString(" ")} END AS reason
+         |FROM (
          |  SELECT '0_base' AS stage, CAST(count(*) AS BIGINT) AS docs FROM scored
          |  UNION ALL SELECT '1_not_benchmark', CAST(count(*) AS BIGINT) FROM s1
          |  UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM s2

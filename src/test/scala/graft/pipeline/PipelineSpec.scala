@@ -130,6 +130,39 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(_.doc_id).toSet == Set("docA", "docB", "docC", "docD"))
   }
 
+  test("curation staging: marker-after-data commit; resume never re-reads the input") {
+    import graft.operators.DedupOps
+    val stage = Files.createTempDirectory("graft-curate-stage").toString
+    val (c1, f1) = DedupOps.curationRunStaged(spark, sfDir, stage)
+    val curated1 = c1.collect().map(_.toSeq).toSeq
+    val funnel1 = f1.collect().map(_.toSeq).toSeq
+    assert(curated1.nonEmpty && funnel1.length == 6)
+    // the staged form is bit-identical to the in-query localCheckpoint form
+    val (c0, f0) = DedupOps.curationRun(spark, sfDir)
+    assert(curated1 == c0.collect().map(_.toSeq).toSeq)
+    assert(funnel1 == f0.collect().map(_.toSeq).toSeq)
+    // resume with the marker present: the input dir is gone, so identical
+    // output PROVES everything came from the durable stage
+    val (c2, f2) = DedupOps.curationRunStaged(spark, "/nonexistent-input-dir", stage)
+    assert(c2.collect().map(_.toSeq).toSeq == curated1)
+    assert(f2.collect().map(_.toSeq).toSeq == funnel1)
+    // crash BEFORE the marker landed (partial feature data, no marker):
+    // the stage is ignored and rewritten from the input
+    val fs = new org.apache.hadoop.fs.Path(stage).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stage/_features_done"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stage/features"), true)
+    docFeaturesPartial(stage) // half-written stage data, as a crash leaves it
+    val (c3, f3) = DedupOps.curationRunStaged(spark, sfDir, stage)
+    assert(c3.collect().map(_.toSeq).toSeq == curated1)
+    assert(f3.collect().map(_.toSeq).toSeq == funnel1)
+  }
+
+  /** Simulate a feature-stage crash: some rows durable, no commit marker. */
+  private def docFeaturesPartial(stage: String): Unit =
+    graft.operators.DedupOps.docFeatures(spark, sfDir).limit(7)
+      .write.mode("overwrite").parquet(s"$stage/features")
+
   test("paragraph mode: spans are kernel extract_paragraphs outputs in order") {
     import graft.kernel.{ExtractMode, Paragraphs}
     val docs = DocSynth.docs(spark, sfDir)
