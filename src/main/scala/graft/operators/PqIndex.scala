@@ -117,11 +117,61 @@ object PqIndex {
       }.toDF("vec_id", "codes")
   }
 
+  /** Map-only encode of an IVF-assigned table `(vec_id, cell, embedding)`
+    * — the IVF×PQ composition's one encode pass: the cell column rides
+    * through so the codes table can persist partitioned by cell (partition
+    * pruning = probe) while each vector still compresses to 8 bytes.
+    */
+  def encodeAssigned(assigned: DataFrame, cb: Codebooks): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val numSub = cb.length
+    require(numSub <= 8 && cb(0).length <= 256, "packed encoding needs numSub <= 8, k <= 256")
+    val bc = spark.sparkContext.broadcast(cb)
+    val subDim = cb(0)(0).length
+    assigned.select(col("vec_id").cast("long"), col("cell").cast("long"), col("embedding"))
+      .as[(Long, Long, Seq[Float])]
+      .mapPartitions { it =>
+        val books = bc.value
+        it.map { case (id, cell, e) =>
+          val v = e.toArray
+          var codes = 0L
+          var s = 0
+          while (s < numSub) {
+            val c = nearest(books(s), java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+            codes |= c.toLong << (8 * s)
+            s += 1
+          }
+          (id, cell, codes)
+        }
+      }.toDF("vec_id", "cell", "codes")
+  }
+
+  /** Codebook persistence: one row per (sub, code) sub-centroid. Floats
+    * round-trip parquet exactly, so a loaded codebook scores bit-identically
+    * to the trained one.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession, cb: Codebooks, dir: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- cb.indices; c <- cb(s).indices
+    } yield (s, c, cb(s)(c).toSeq)
+    rows.toDF("sub", "code", "cvec").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String): Codebooks = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray)).toMap
+    val numSub = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    Array.tabulate(numSub, k)((s, c) => rows((s, c)))
+  }
+
   /** The per-query ADC table flattened to tbl(s*k + c) = query_s · cent_c,
     * and the unrolled codegen'd score column
     * Σ_s tbl[s*k + ((codes >> 8s) & 255)].
     */
-  private def adcScore(cb: Codebooks, query: Array[Float]): Column = {
+  private[operators] def adcScore(cb: Codebooks, query: Array[Float]): Column = {
     val numSub = cb.length; val k = cb(0).length; val subDim = cb(0)(0).length
     val tbl: Seq[Double] = for {
       s <- 0 until numSub; c <- 0 until k

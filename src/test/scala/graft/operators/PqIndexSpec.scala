@@ -88,6 +88,53 @@ class PqIndexSpec extends SparkTestBase {
     encoded.unpersist()
   }
 
+  test("IVF x PQ composed index: recall@10 >= 0.95 scoring only the probed cells' codes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    IvfPq.build(clustered, dir, nCells = 16, refineIters = 2, numSub = 8, codebookK = 16)
+    val codes = spark.read.parquet(IvfPq.codesDir(dir))
+    assert(codes.count() == 1024) // every vector exactly once, 8 B each
+    val queries = Seq(0L, 64L, 130L, 513L, 999L, 320L, 777L, 448L)
+    val embById = clustered.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    var scoredMax = 0L
+    val recalls = queries.map { qid =>
+      val brute = bruteTop10(clustered, qid)
+      // rows the ADC stage can touch = rows in the probed cells only
+      val cells = IvfPq.probeCells(spark, dir, embById(qid), nprobe = 4)
+      scoredMax = math.max(scoredMax, codes.where(col("cell").isin(cells: _*)).count())
+      val got = IvfPq.search(spark, dir, clustered, qid, nprobe = 4, k = 10, candidates = 64)
+        .collect().map(_.getLong(0)).toSet
+      brute.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVFxPQ: recall@10 $mean%.3f over ${queries.length} queries; max ADC-scored rows $scoredMax of 1024")
+    assert(mean >= 0.95, f"recall $mean%.3f < 0.95")
+    // nprobe/nCells of the table (4/16 of 1024 = 256), x2 slack for cell imbalance
+    assert(scoredMax <= 512, s"probe scored $scoredMax of 1024 rows — cell pruning broken")
+    // probe plan: the codes scan is partition-pruned; ADC top-k never shuffles
+    val plan = IvfPq.search(spark, dir, clustered, 0L, 4, 10, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // an unmarked (crashed mid-build) index is refused, like AnnIndex
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_committed"), false)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.search(spark, dir, clustered, 0L, 4, 10, 64).collect()
+    }
+    assert(e.getMessage.contains("incomplete build"), e.getMessage)
+  }
+
+  test("codebooks round-trip persistence bit-identically") {
+    val cb = PqIndex.train(clustered, numSub = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-cb").toString + "/cb"
+    PqIndex.saveCodebooks(spark, cb, dir)
+    val cb2 = PqIndex.loadCodebooks(spark, dir)
+    assert(cb2.length == cb.length)
+    for (s <- cb.indices; c <- cb(s).indices)
+      assert(cb2(s)(c).toSeq == cb(s)(c).toSeq, s"sub $s code $c")
+  }
+
   test("ADC search compiles to TakeOrderedAndProject over a scan (no shuffle, no join)") {
     val cb = PqIndex.train(clustered, numSub = 8, k = 16)
     val encoded = PqIndex.encode(clustered, cb)
