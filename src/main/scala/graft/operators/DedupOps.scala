@@ -75,6 +75,26 @@ object DedupOps {
     sig.select(col("doc_id"),
       posexplode(array(bandDefs.map { case (_, h) => expr(h) }: _*)).as(Seq("band", "bh")))
 
+  /** LSH band-bucket rows for an arbitrary text-bearing frame: every input
+    * row with >= 3 tokens explodes to `NumBands` rows carrying `(band,
+    * bh)`, all original columns preserved. Shared by the batch near-dup
+    * path and the STREAMING in-horizon dedup — same tokenizer, shingle,
+    * `minhash_sigs`, and band-hash expressions, so the two paths bucket
+    * identically by construction.
+    */
+  private[graft] def withBandBuckets(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensure(docs.sparkSession)
+    val orig = docs.columns.map(col).toSeq
+    docs
+      .withColumn("toks", expr(toksSpark))
+      .where(expr("size(toks) >= 3"))
+      .withColumn("shingles", expr(s"array_distinct($shinglesFromToks)"))
+      .withColumn("sigs", expr(mhSparkAll))
+      .select(orig ++ (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
+      .select(orig :+ posexplode(array(bandDefs.map { case (_, h) => expr(h) }: _*))
+        .as(Seq("band", "bh")): _*)
+  }
+
   private val sigDuckCte =
     s"""sig AS (
        |  SELECT doc_id, ${(0 until NumHashes).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")}

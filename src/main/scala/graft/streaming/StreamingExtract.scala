@@ -56,6 +56,48 @@ object StreamingExtract {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-duplicate dedup within the watermark horizon — the
+    * round-3 gap: `dedupStream` only drops exact `content_hash` repeats,
+    * but a trivially paraphrased republication slipped through until batch
+    * compaction. This stage drops it in-stream:
+    *
+    *   1. each doc explodes to its LSH band-bucket rows (`DedupOps.
+    *      withBandBuckets` — the IDENTICAL tokenize → shingle →
+    *      `minhash_sigs` → band-hash expressions as the batch near-dup
+    *      path, so stream and batch bucket identically by construction);
+    *   2. `dropDuplicatesWithinWatermark(bh)` keeps only the FIRST row per
+    *      band bucket inside the horizon (watermark-bounded state, one row
+    *      per occupied bucket);
+    *   3. a windowed per-doc count of SURVIVING bands: a doc whose every
+    *      band bucket was already occupied contributes zero rows and
+    *      vanishes — dropped; a doc with at least one novel band survives.
+    *
+    * Semantics (deliberately high-precision): drop only when ALL bands
+    * collide — for a true near-duplicate of one prior doc that is the
+    * full-signature match event (probability s^8 for Jaccard s: ≈1 for
+    * exact/trivially-edited republications, 0.43 at s=0.9). False drops of
+    * genuinely novel docs need every band to collide by chance — vanishing
+    * at 60-bit band hashes. The full-recall near-dup pass (LSH candidates
+    * + Jaccard verification + connected components) stays in the batch
+    * compaction, which is the right split at 100 TB/day: in-stream state
+    * is one narrow row per band bucket per horizon, never corpus-global.
+    *
+    * Output rows appear when the watermark closes their window (append
+    * mode with two chained stateful operators — supported since the
+    * multi-stateful-operator work in Spark 3.4+).
+    */
+  def nearDedupStream(
+      docs: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    graft.operators.DedupOps.withBandBuckets(docs)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("bh")
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("novel_bands"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("text"), col("novel_bands"))
+
   /** Streaming corpus curation — the batch curation pipeline's stateless
     * stages (quality gate, PII scrub) run UNCHANGED on unbounded input
     * (same Catalyst expressions, shared with `q_quality_score` /

@@ -88,6 +88,50 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Seq("a1", "b1"))
   }
 
+  test("streaming near-dup: paraphrase inside the watermark horizon dropped, outside survives") {
+    import graft.operators.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val textA = (0 until 80).map(i => s"alpha$i").mkString(" ")
+    val textC = (0 until 80).map(i => s"omega$i").mkString(" ")  // genuinely novel
+    val textD = (0 until 80).map(i => s"delta$i").mkString(" ")  // novel, advances watermark
+    def bhOf(txt: String): Set[String] =
+      DedupOps.withBandBuckets(Seq(("x", txt)).toDF("doc_id", "text"))
+        .select("bh").as[String].collect().toSet
+    // the paraphrase: the first single-word edit that preserves every band
+    // bucket (a one-word change replaces 3 of 78 shingles, so most edit
+    // positions leave all 8 minima — and hence both band hashes — intact;
+    // which positions do is a deterministic property of md5). The drop rule
+    // fires only on all-band collision, so this is the meaningful case.
+    val textB = (10 until 70).iterator
+      .map(p => (0 until 80).map(i => if (i == p) "changed" else s"alpha$i").mkString(" "))
+      .find(t => bhOf(t) == bhOf(textA))
+      .getOrElse(fail("no single-word edit preserves all band buckets"))
+    assert(bhOf(textA).intersect(bhOf(textC)).isEmpty)
+
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val df = stream.toDS().toDF("ts", "doc_id", "text")
+    val q = StreamingExtract.nearDedupStream(df, watermark = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("neardedup_out").outputMode("append").start()
+    // batch 1: original + in-horizon paraphrase + novel doc
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "A", textA),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "B", textB),
+      (Timestamp.valueOf("2024-01-01 10:03:00"), "C", textC))
+    q.processAllAvailable()
+    // batch 2: advances the watermark past A's bucket horizon (10:00 + 10m)
+    stream.addData((Timestamp.valueOf("2024-01-01 10:30:00"), "D", textD))
+    q.processAllAvailable()
+    // batch 3: the SAME paraphrase again, now outside the horizon -> survives
+    stream.addData((Timestamp.valueOf("2024-01-01 10:31:00"), "E", textB))
+    q.processAllAvailable()
+    // batch 4: far-future event closes the 10:30 window
+    stream.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "F", textD))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardedup_out").select("doc_id").as[String].collect().toSet
+    assert(kept == Set("A", "C", "D", "E"), s"kept=$kept")
+  }
+
   test("stateful running span counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, Int)]
