@@ -164,6 +164,14 @@ object ExtractJob {
     *    (which at 100 TB would cost more than the re-read it saves). Also
     *    plan-gated.
     *
+    * The one remaining two-scan case is synthetic-only: `extractFromRaw`
+    * at replicate=1, where the size rule is a COMPUTED column (so nothing
+    * pushes to parquet) and there is no Generate barrier (so the routing
+    * filter legally sinks below the base exchange, splitting it). That
+    * path double-scans the 5k-row testdata base in the bench's one-shot
+    * phases and exists nowhere at deployment, where the size is a real
+    * column (the pushdown case above).
+    *
     * Null handling: a NULL size column routes the row to the NORMALS branch
     * (`n_chars <= T OR n_chars IS NULL` — pushable, null-keeping) instead of
     * silently dropping it (both branch predicates NULL) or blocking pushdown
