@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.pipeline.ExtractMain \
   *     --conf spark.sql.extensions=graft.GraftExtensions \
   *     target/scala-2.13/ragdocumentparserspark_2.13-0.1.0.jar \
-  *     <inputSfDir> <outDir> [chunk|paragraph|semantic] [numGroups]
+  *     <inputSfDir> <outDir> [chunk|paragraph|semantic] [numGroups] [parquet|jsonl]
   *
   * Reads the docs table, runs the resumable group-committed extraction
   * (Checkpoint: MERGE-on-doc_id-equivalent over parquet), prints the lineage
@@ -36,9 +36,20 @@ object ExtractMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = DocSynth.docs(spark, inDir)
-    val processed = Checkpoint.runResumable(docs, outDir,
-      ExtractJob.Config(mode = mode), numGroups = numGroups)
-    val lineage = Checkpoint.readLineage(spark, outDir)
+    // Storage backend for the group-committed checkpoint: parquet (dynamic
+    // partition-overwrite) or jsonl (explicit staging+rename protocol) —
+    // both pass the SpanWriterContractSpec behavioral contract.
+    val (writer, readLineage) = args.lift(4).getOrElse("parquet") match {
+      case "jsonl" =>
+        (new JsonlSpanWriter(spark, outDir),
+          () => JsonlSpanWriter.readLineage(spark, outDir))
+      case _ =>
+        (new Checkpoint.ParquetSpanWriter(spark, outDir),
+          () => Checkpoint.readLineage(spark, outDir))
+    }
+    val processed = Checkpoint.runResumable(docs, writer,
+      ExtractJob.Config(mode = mode), numGroups = numGroups, maxGroups = Int.MaxValue)
+    val lineage = readLineage()
     val summary = lineage.groupBy().sum("docs_parsed", "spans_emitted", "parse_failures").collect()(0)
     println(s"[extract] groups processed this run: $processed/$numGroups; " +
       s"totals: docs=${summary.getLong(0)} spans=${summary.getLong(1)} failures=${summary.getLong(2)}")

@@ -227,4 +227,24 @@ class PipelineSpec extends SparkTestBase {
     assert(a.map(_.doc_id).distinct.size == 500) // no duplicates: MERGE semantics
     assert(Checkpoint.readLineage(spark, dirA).select("grp").distinct().count() == 8)
   }
+
+  test("resume through JsonlSpanWriter converges to the parquet writer's output") {
+    val docs = DocSynth.docs(spark, sfDir)
+    val dirJ = Files.createTempDirectory("graft-resume-jsonl").toString
+    val dirP = Files.createTempDirectory("graft-resume-parq").toString
+    val cfg = ExtractJob.Config()
+
+    // kill after 3 of 8 groups, then resume — all through the JSONL writer
+    val wJ = new JsonlSpanWriter(spark, dirJ)
+    assert(Checkpoint.runResumable(docs, wJ, cfg, numGroups = 8, maxGroups = 3) == 3)
+    assert(Checkpoint.runResumable(docs, wJ, cfg, numGroups = 8, maxGroups = Int.MaxValue) == 5)
+    assert(Checkpoint.runResumable(docs, wJ, cfg, numGroups = 8, maxGroups = Int.MaxValue) == 0)
+
+    // single-shot parquet reference run: the two writers must agree exactly
+    Checkpoint.runResumable(docs, dirP, cfg, numGroups = 8)
+    val j = collectSorted(JsonlSpanWriter.readSpans(spark, dirJ).as[Doc])
+    val p = collectSorted(Checkpoint.readSpans(spark, dirP).as[Doc])
+    assert(j.nonEmpty && j == p)
+    assert(JsonlSpanWriter.readLineage(spark, dirJ).select("grp").distinct().count() == 8)
+  }
 }
