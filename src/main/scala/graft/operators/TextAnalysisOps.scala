@@ -271,6 +271,88 @@ object TextAnalysisOps {
             s" i -> ${h60Spark("substring(text, i * 4 + 1, 8)")}))").as("fingerprint"),
           expr("cast(floor((length(text) - 8) / 4.0) + 1 as bigint)").as("n_shingles"))
         .orderBy("doc_id")
+    },
+
+    // Training-sequence packing (concat-and-chop): documents are hashed into
+    // shards, concatenated in doc_id order within each shard, and chopped
+    // into fixed 512-token training sequences — each doc reports the sequence
+    // it starts in and its fill offset there. The running sum is a window
+    // partitioned BY SHARD, so no global single-partition sort exists; at
+    // 100 TB nShards scales with the corpus (one shard ≈ one output file),
+    // keeping every window partition bounded. All-integer arithmetic: both
+    // engines produce identical bits.
+    Op("q_pack_sequences",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ${h60Duck("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |    CAST(len($toksDuck) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+         |  (cum - n_tokens) % 512 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr(s"${h60Spark("cast(doc_id as string)")} % 16").as("shard"),
+        expr(s"cast(size($toksSpark) as bigint)").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum(col("n_tokens")).over(w).cast("bigint"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr("cast(floor((cum - n_tokens) / 512.0) as bigint)").as("seq_id"),
+          ((col("cum") - col("n_tokens")) % 512).as("seq_offset"))
+        .orderBy("doc_id")
+    },
+
+    // Bigram-LM fluency score (the CCNet-style LM quality filter, with the
+    // corpus itself as the LM): MLE conditional probability
+    // P(w2|w1) = c(w1,w2)/c(w1,·) from corpus bigram counts, per-doc score =
+    // sum over the doc's bigrams in fixed-point micro units (floor of 1e6·p —
+    // one correctly-rounded divide + multiply per bigram, then exact BIGINT
+    // sums, so the engines agree bit-for-bit; no transcendentals). Plan
+    // shape at scale: bigram counts are one shuffle with map-side partial
+    // aggregation; the count tables join back on the bigram key (shuffle
+    // join — broadcastable once pruned to a top-K vocabulary).
+    Op("q_lm_bigram_score",
+      s"""WITH toks AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |t2 AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
+         |       FROM t2),
+         |bgp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+         |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bgp GROUP BY 1, 2),
+         |pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bgc GROUP BY 1),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |    CAST(floor(1000000.0 * (CAST(c.c2 AS DOUBLE) / CAST(p.c1 AS DOUBLE))) AS BIGINT) AS micro
+         |  FROM bgp b JOIN bgc c ON c.w1 = b.w1 AND c.w2 = b.w2 JOIN pre p ON p.w1 = b.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(micro) AS BIGINT) AS score_micro,
+         |  CAST(sum(micro) AS DOUBLE) / count(*) AS avg_prob_micro
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toksSpark).as("w"))
+        .where(size(col("w")) >= 2)
+      val bgp = toks.select(col("doc_id"),
+          expr("explode(transform(sequence(0, size(w) - 2)," +
+            " i -> named_struct('w1', w[i], 'w2', w[i + 1])))").as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bgc = bgp.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val pre = bgc.groupBy("w1").agg(sum(col("c2")).as("c1"))
+      bgp.join(bgc, Seq("w1", "w2")).join(pre, Seq("w1"))
+        .select(col("doc_id"),
+          expr("cast(floor(1000000.0 * (cast(c2 as double) / cast(c1 as double))) as bigint)").as("micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+          sum(col("micro")).cast("bigint").as("score_micro"))
+        .withColumn("avg_prob_micro", col("score_micro").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
     }
   )
 }

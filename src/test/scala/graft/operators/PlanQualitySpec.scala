@@ -187,4 +187,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_collect_list") || "HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
       p.take(4000))
   }
+
+  test("q_pack_sequences: running sum is a SHARD-partitioned window, scan pruned") {
+    val p = plan("q_pack_sequences")
+    // the cumulative token sum must never be a global (unpartitioned) window —
+    // windowspecdefinition must lead with the shard key
+    assert("windowspecdefinition\\(shard".r.findFirstIn(p).isDefined,
+      s"cumulative sum is not partitioned by shard:\n${p.take(4000)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
+  }
+
+  test("q_lm_bigram_score: partial aggs on bigram counts, scan pruned") {
+    val p = plan("q_lm_bigram_score")
+    assert(p.contains("partial_count"), p.take(4000)) // map-side combine on (w1,w2)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
 }
