@@ -789,6 +789,50 @@ object DedupOps {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(expr(s"$dot / (${nrm("a")} * ${nrm("b")})"), 4).as("cosine"))
         .orderBy("vec_a")
+    },
+
+    // Incremental near-dup dedup: a NEW BATCH (doc_id % 10 = 0 stands in
+    // for today's crawl) checked against the EXISTING CORPUS without
+    // re-clustering anything — a batch doc is dropped if any of its LSH
+    // bands collides with a corpus band. This is the daily-ingest shape at
+    // 100 TB: the corpus side is the persisted (band, bh) table maintained
+    // by prior runs (here recomputed because the testdata has no state
+    // dir), so the join touches only the new batch's bands against an
+    // indexed/bucketed corpus table; the batch side is small → broadcast.
+    Op("q_incremental_dedup",
+      s"""WITH corpus_sig AS (
+         |  SELECT doc_id, ${(0 until NumHashes).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")}
+         |  FROM (SELECT doc_id, $shinglesDuck AS shingles FROM documents
+         |        WHERE doc_id % 10 <> 0 AND len($toksDuck) >= 3)),
+         |batch_sig AS (
+         |  SELECT doc_id, ${(0 until NumHashes).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")}
+         |  FROM (SELECT doc_id, $shinglesDuck AS shingles FROM documents
+         |        WHERE doc_id % 10 = 0 AND len($toksDuck) >= 3)),
+         |corpus_bands AS (SELECT DISTINCT band, bh FROM (
+         |  ${bandDefs.map { case (b, h) => s"SELECT $b AS band, $h AS bh FROM corpus_sig" }
+             .mkString("\n  UNION ALL\n  ")})),
+         |batch_bands AS (
+         |  ${bandDefs.map { case (b, h) => s"SELECT doc_id, $b AS band, $h AS bh FROM batch_sig" }
+             .mkString("\n  UNION ALL\n  ")}),
+         |dup AS (SELECT DISTINCT b.doc_id
+         |        FROM batch_bands b JOIN corpus_bands c ON c.band = b.band AND c.bh = b.bh)
+         |SELECT d.doc_id AS doc_id, CASE WHEN dup.doc_id IS NULL THEN 'kept' ELSE 'dup' END AS status
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpusBands = withBandBuckets(docs.where(col("doc_id") % 10 =!= 0))
+        .select("band", "bh").distinct()
+      val batchBands = withBandBuckets(docs.where(col("doc_id") % 10 === 0))
+        .select("doc_id", "band", "bh")
+      // the new batch is the small side: broadcast its bands at the probe
+      val dup = broadcast(batchBands).join(corpusBands, Seq("band", "bh"))
+        .select("doc_id").distinct()
+      docs.where(col("doc_id") % 10 === 0).select("doc_id")
+        .join(broadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_dup").isNull, "kept").otherwise("dup").as("status"))
+        .orderBy("doc_id")
     }
   )
 }

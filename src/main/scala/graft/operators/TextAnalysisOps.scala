@@ -353,6 +353,67 @@ object TextAnalysisOps {
           sum(col("micro")).cast("bigint").as("score_micro"))
         .withColumn("avg_prob_micro", col("score_micro").cast("double") / col("n_bigrams"))
         .orderBy("doc_id")
+    },
+
+    // URL curation (the RefinedWeb/C4-style web-source stage): canonicalize
+    // the document URL (strip fragment, strip utm_*/ref tracking params,
+    // lowercase scheme+host only — paths stay case-sensitive), extract the
+    // registrable domain (www. stripped), then apply a domain blocklist and
+    // a per-domain document cap. The testdata has no URL column, so a
+    // deterministic URL is synthesized from doc_id identically in both
+    // engines. Map-only strings + a DOMAIN-partitioned row_number (domain
+    // cardinality is huge on real crawls, so partitions stay bounded). All
+    // regexes are RE2-safe: char classes only, no lookarounds.
+    Op("q_url_curation",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'https://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.COM/Page/' ||
+        |    CAST(doc_id % 101 AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+        |    '&ref=rss#s' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents),
+        |trimmed AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(url,
+        |      '#.*$', ''), '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'), '[?&]+$', '') AS t
+        |  FROM raw),
+        |canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(t, '^https://[^/]+')) || substr(t, length(regexp_extract(t, '^https://[^/]+')) + 1) AS canon_url
+        |  FROM trimmed),
+        |dom AS (
+        |  SELECT doc_id, canon_url,
+        |    regexp_replace(regexp_extract(canon_url, '^https://([^/]+)', 1), '^www[.]', '') AS domain
+        |  FROM canon),
+        |ranked AS (
+        |  SELECT doc_id, canon_url, domain,
+        |    CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM dom)
+        |SELECT doc_id, domain, canon_url, rn,
+        |  CASE WHEN domain IN ('site13.example.com', 'site31.example.com') THEN 'blocked'
+        |       WHEN rn > 5 THEN 'capped' ELSE 'kept' END AS status
+        |FROM ranked ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hostPat = "'^https://[^/]+'"
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("https://WWW.Site"), (col("doc_id") % 37).cast("string"),
+            lit(".Example.COM/Page/"), (col("doc_id") % 101).cast("string"),
+            lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+            lit("&ref=rss#s"), (col("doc_id") % 7).cast("string")).as("url"))
+        .withColumn("t", expr(
+          "regexp_replace(regexp_replace(regexp_replace(url," +
+            " '#.*$', ''), '(utm_[a-z]+|ref)=[^&]*&?', ''), '[?&]+$', '')"))
+        .withColumn("canon_url", expr(
+          s"concat(lower(regexp_extract(t, $hostPat, 0))," +
+            s" substr(t, length(regexp_extract(t, $hostPat, 0)) + 1))"))
+        .withColumn("domain", expr(
+          "regexp_replace(regexp_extract(canon_url, '^https://([^/]+)', 1), '^www[.]', '')"))
+      t.withColumn("rn",
+          row_number().over(Window.partitionBy("domain").orderBy("doc_id")).cast("bigint"))
+        .select(col("doc_id"), col("domain"), col("canon_url"), col("rn"),
+          when(col("domain").isin("site13.example.com", "site31.example.com"), "blocked")
+            .when(col("rn") > 5, "capped").otherwise("kept").as("status"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -197,6 +197,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
   }
 
+  test("q_url_curation: per-domain cap is a DOMAIN-partitioned window") {
+    val p = plan("q_url_curation")
+    assert("windowspecdefinition\\(domain".r.findFirstIn(p).isDefined,
+      s"per-domain row_number is not partitioned by domain:\n${p.take(4000)}")
+  }
+
+  test("q_incremental_dedup: batch bands broadcast against the corpus bands") {
+    val p = plan("q_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
+
   test("q_lm_bigram_score: partial aggs on bigram counts, scan pruned") {
     val p = plan("q_lm_bigram_score")
     assert(p.contains("partial_count"), p.take(4000)) // map-side combine on (w1,w2)
