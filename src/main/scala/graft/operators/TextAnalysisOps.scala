@@ -345,9 +345,16 @@ object TextAnalysisOps {
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       val bgc = bgp.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val pre = bgc.groupBy("w1").agg(sum(col("c2")).as("c1"))
-      bgp.join(bgc, Seq("w1", "w2")).join(pre, Seq("w1"))
-        .select(col("doc_id"),
+      // Join the two AGGREGATED tables first into a per-bigram probability
+      // table, then hit the exploded doc-bigram table exactly once — the
+      // naive bgp⋈bgc⋈pre shape shuffles the big exploded table twice
+      // (once on (w1,w2), again on w1). The prob table is |distinct
+      // bigrams| rows — broadcastable once the vocab is pruned.
+      val prob = bgc.join(pre, Seq("w1"))
+        .select(col("w1"), col("w2"),
           expr("cast(floor(1000000.0 * (cast(c2 as double) / cast(c1 as double))) as bigint)").as("micro"))
+      bgp.join(prob, Seq("w1", "w2"))
+        .select(col("doc_id"), col("micro"))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
           sum(col("micro")).cast("bigint").as("score_micro"))
