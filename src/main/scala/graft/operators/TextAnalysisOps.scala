@@ -36,6 +36,33 @@ object TextAnalysisOps {
   private val PhonePat = """\b555-[0-9]{4}\b"""
   private val Ipv4Pat  = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
+  /** Domains dropped by the URL curation stage (batch `q_url_curation` and
+    * the streaming gate share this one list).
+    */
+  private[graft] val UrlBlocklist: Seq[String] =
+    Seq("site13.example.com", "site31.example.com")
+
+  /** URL canonicalization + registrable-domain extraction, shared batch /
+    * streaming: strip fragment, strip utm_* and ref tracking params,
+    * lowercase scheme+host ONLY (paths stay case-sensitive), then derive
+    * the domain with the `www.` prefix stripped. Stateless map-only
+    * expressions (RE2-safe regexes: char classes, no lookarounds), so the
+    * two surfaces canonicalize identically by construction. Adds
+    * `canon_url` and `domain`; the staging column is dropped.
+    */
+  private[graft] def withCanonUrl(df: org.apache.spark.sql.DataFrame, urlCol: String): org.apache.spark.sql.DataFrame = {
+    val hostPat = "'^https://[^/]+'"
+    df.withColumn("_url_trimmed", expr(
+        s"regexp_replace(regexp_replace(regexp_replace($urlCol," +
+          s" '#.*$$', ''), '(utm_[a-z]+|ref)=[^&]*&?', ''), '[?&]+$$', '')"))
+      .withColumn("canon_url", expr(
+        s"concat(lower(regexp_extract(_url_trimmed, $hostPat, 0))," +
+          s" substr(_url_trimmed, length(regexp_extract(_url_trimmed, $hostPat, 0)) + 1))"))
+      .withColumn("domain", expr(
+        "regexp_replace(regexp_extract(canon_url, '^https://([^/]+)', 1), '^www[.]', '')"))
+      .drop("_url_trimmed")
+  }
+
   /** The PII scrub chain as a reusable column — the exact expressions
     * `q_pii_scrub` runs, shared with the streaming surface (stateless, so
     * identical semantics batch vs stream).
@@ -400,25 +427,17 @@ object TextAnalysisOps {
         |       WHEN rn > 5 THEN 'capped' ELSE 'kept' END AS status
         |FROM ranked ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val hostPat = "'^https://[^/]+'"
-      val t = Tables.documents(s, dir)
+      val raw = Tables.documents(s, dir)
         .select(col("doc_id"),
           concat(lit("https://WWW.Site"), (col("doc_id") % 37).cast("string"),
             lit(".Example.COM/Page/"), (col("doc_id") % 101).cast("string"),
             lit("?utm_source=feed&id="), col("doc_id").cast("string"),
             lit("&ref=rss#s"), (col("doc_id") % 7).cast("string")).as("url"))
-        .withColumn("t", expr(
-          "regexp_replace(regexp_replace(regexp_replace(url," +
-            " '#.*$', ''), '(utm_[a-z]+|ref)=[^&]*&?', ''), '[?&]+$', '')"))
-        .withColumn("canon_url", expr(
-          s"concat(lower(regexp_extract(t, $hostPat, 0))," +
-            s" substr(t, length(regexp_extract(t, $hostPat, 0)) + 1))"))
-        .withColumn("domain", expr(
-          "regexp_replace(regexp_extract(canon_url, '^https://([^/]+)', 1), '^www[.]', '')"))
-      t.withColumn("rn",
+      withCanonUrl(raw, "url")
+        .withColumn("rn",
           row_number().over(Window.partitionBy("domain").orderBy("doc_id")).cast("bigint"))
         .select(col("doc_id"), col("domain"), col("canon_url"), col("rn"),
-          when(col("domain").isin("site13.example.com", "site31.example.com"), "blocked")
+          when(col("domain").isin(UrlBlocklist: _*), "blocked")
             .when(col("rn") > 5, "capped").otherwise("kept").as("status"))
         .orderBy("doc_id")
     }

@@ -107,6 +107,18 @@ object StreamingExtract {
     * bounded-horizon-stream + periodic-batch-compaction split a 100 TB/day
     * ingest runs.
     */
+  /** Streaming URL gate — the stateless half of `q_url_curation` on
+    * unbounded input: canonicalize (fragment/tracking-param strip,
+    * scheme+host lowercasing) and drop blocklisted domains, via the SAME
+    * shared expressions and blocklist as the batch operator, so the two
+    * surfaces gate identically by construction. The per-domain document
+    * cap is corpus-global and stays in batch compaction — the same
+    * bounded-stream/batch split as near-dup dedup.
+    */
+  def urlFilterStream(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    graft.operators.TextAnalysisOps.withCanonUrl(docs, urlCol)
+      .where(!col("domain").isin(graft.operators.TextAnalysisOps.UrlBlocklist: _*))
+
   def curateStream(
       docs: DataFrame,
       minQuality: Double = 0.5,

@@ -146,4 +146,21 @@ class StreamingSpec extends SparkTestBase {
       .collect().groupBy(_.doc_id).map { case (k, v) => k -> v.map(_.spans_total).max }
     assert(last == Map("d1" -> 5L, "d2" -> 1L))
   }
+
+  test("streaming URL gate: canonicalizes like batch, drops blocklisted domains") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val df = stream.toDS().toDF("doc_id", "url")
+    val q = StreamingExtract.urlFilterStream(df)
+      .writeStream.format("memory").queryName("url_gate").outputMode("append").start()
+    stream.addData(
+      ("u1", "https://WWW.Site3.Example.COM/Page/7?utm_source=feed&id=1&ref=rss#s2"),
+      ("u2", "https://www.site13.example.com/Page/1?id=2"), // blocklisted
+      ("u3", "https://Site31.EXAMPLE.com/x?utm_medium=a"))  // blocklisted (no www.)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("url_gate").select("doc_id", "canon_url", "domain")
+      .as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(("u1", "https://www.site3.example.com/Page/7?id=1", "site3.example.com")))
+  }
 }
