@@ -389,6 +389,69 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     },
 
+    // Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    // Table A1 — the MassiveText heuristic filter bundle), the subset whose
+    // inputs exist on plain text: word-count bounds, mean-word-length
+    // bounds, symbol-to-word ratio (# and ellipsis), and a minimum
+    // stopword requirement (Gopher's original threshold is >= 2 distinct
+    // stop words; this corpus' compressed synthetic vocabulary carries at
+    // most one, so the operator uses >= 1 to keep the flag discriminating —
+    // the threshold is the tunable, the machinery is the operator).
+    // Per-rule 0/1 flags so downstream can report
+    // per-rule drop rates, plus the conjunction. Map-only; counts are
+    // exact integers and each ratio is ONE correctly-rounded division, so
+    // both engines agree bit-for-bit.
+    Op("q_gopher_rules",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksDuck AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS word_chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+         |         w -> list_contains(toks, w))) AS BIGINT) AS n_stop
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, n_words,
+         |  CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+         |  CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+         |  n_stop,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+         |  CAST(CASE WHEN CAST(word_chars AS DOUBLE) / n_words BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS BIGINT) AS ok_mwl,
+         |  CAST(CASE WHEN CAST(n_symbols AS DOUBLE) / n_words < 0.1 THEN 1 ELSE 0 END AS BIGINT) AS ok_sym,
+         |  CAST(CASE WHEN n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |         AND CAST(word_chars AS DOUBLE) / n_words BETWEEN 3 AND 10
+         |         AND CAST(n_symbols AS DOUBLE) / n_words < 0.1
+         |         AND n_stop >= 1 THEN 1 ELSE 0 END AS BIGINT) AS ok_all
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val m = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), expr(toksSpark).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_words"),
+          expr("aggregate(toks, cast(0 as bigint), (a, w) -> a + length(w))").as("word_chars"),
+          (expr("cast(length(text) - length(replace(text, '#', '')) as bigint)") +
+            expr("cast((length(text) - length(replace(text, '...', ''))) div 3 as bigint)")).as("n_symbols"),
+          expr("cast(size(filter(array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')," +
+            " w -> array_contains(toks, w))) as bigint)").as("n_stop"))
+      val mwl = col("word_chars").cast("double") / col("n_words")
+      val sym = col("n_symbols").cast("double") / col("n_words")
+      val okWords = col("n_words").between(50, 100000)
+      val okMwl = mwl.between(3, 10)
+      val okSym = sym < 0.1
+      val okStop = col("n_stop") >= 1
+      m.select(col("doc_id"), col("n_words"),
+          mwl.as("mean_word_len"), sym.as("symbol_ratio"), col("n_stop"),
+          when(okWords, 1L).otherwise(0L).as("ok_words"),
+          when(okMwl, 1L).otherwise(0L).as("ok_mwl"),
+          when(okSym, 1L).otherwise(0L).as("ok_sym"),
+          when(okStop, 1L).otherwise(0L).as("ok_stop"),
+          when(okWords && okMwl && okSym && okStop, 1L).otherwise(0L).as("ok_all"))
+        .orderBy("doc_id")
+    },
+
     // URL curation (the RefinedWeb/C4-style web-source stage): canonicalize
     // the document URL (strip fragment, strip utm_*/ref tracking params,
     // lowercase scheme+host only — paths stay case-sensitive), extract the
