@@ -197,6 +197,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
   }
 
+  test("q_gopher_rules: map-only — no exchange below the final sort, scan pruned") {
+    val p = plan("q_gopher_rules")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
+    // one Exchange is allowed (the ORDER BY doc_id rangepartitioning);
+    // a hash exchange would mean the rules stopped being per-row math
+    assert(!p.contains("Exchange hashpartitioning"), p.take(4000))
+  }
+
   test("q_url_curation: per-domain cap is a DOMAIN-partitioned window") {
     val p = plan("q_url_curation")
     assert("windowspecdefinition\\(domain".r.findFirstIn(p).isDefined,
