@@ -59,6 +59,38 @@ object EvalOps {
           sum(col("n_chars")).as("chars"),
           sum(ceil(col("n_chars") / 420.0)).as("est_chunks"))
         .orderBy("source")
+    },
+
+    // The reference's two headline Grafana panel expressions re-expressed
+    // as batch analytics over the events table
+    // (/root/reference/src/observability/instruments.py:14-15 and the
+    // dashboard JSON panel exprs): ingest rate
+    // `sum(rate(documents_ingested_total[1m]))*60` becomes non-error
+    // events per minute per hour window; error rate
+    // `100*(rate(errors)/(rate(ingested)+rate(errors)))` becomes the
+    // per-window percentage. One partial-agg'd shuffle on the hour key;
+    // each ratio is a single correctly-rounded division over exact counts.
+    Op("q_ingest_rates",
+      """WITH w AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    CAST(count(*) AS BIGINT) AS total_events,
+        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_events
+        |  FROM events GROUP BY 1)
+        |SELECT hour, total_events, error_events,
+        |  CAST(total_events - error_events AS DOUBLE) / 60.0 AS ingested_per_min,
+        |  100.0 * (CAST(error_events AS DOUBLE) / CAST(total_events AS DOUBLE)) AS error_rate_pct
+        |FROM w ORDER BY hour""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(
+          count(lit(1)).as("total_events"),
+          count(when(col("event_type") === "error", 1)).as("error_events"))
+        .select(col("hour"), col("total_events"), col("error_events"),
+          ((col("total_events") - col("error_events")).cast("double") / 60.0)
+            .as("ingested_per_min"),
+          (lit(100.0) * (col("error_events").cast("double") / col("total_events").cast("double")))
+            .as("error_rate_pct"))
+        .orderBy("hour")
     }
   )
 }
