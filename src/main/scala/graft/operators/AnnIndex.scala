@@ -166,6 +166,10 @@ object AnnIndex {
     val spark = embeddings.sparkSession
     val fs = fsOf(spark, indexDir)
     fs.delete(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), false)
+    // a rebuild changes the centroids, so every appended delta batch was
+    // assigned under stale centroids — drop them with the marker down
+    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(indexDir)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(batchManifest(indexDir)), true)
     // Materialize the centroids ONCE (nCells rows): Lloyd's avg() merges
     // partial sums in shuffle-fetch order, so two lazy evaluations of the
     // same plan could round a boundary assignment differently — the cells
@@ -186,11 +190,62 @@ object AnnIndex {
     fs.create(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), true).close()
   }
 
-  /** Probe the persisted index: only `nprobe` cell partitions are scanned.
-    * Probes use the centroid table persisted with the index; a missing
-    * commit marker means a build died mid-write and fails fast — silently
-    * probing cells under re-derived or mismatched centroids could prune the
-    * wrong cells and lose recall.
+  private def deltaDir(indexDir: String)       = s"$indexDir/delta"
+  private def batchManifest(indexDir: String)  = s"$indexDir/_batches"
+
+  /** Append a batch of new vectors to a COMMITTED index without rebuilding
+    * — daily index maintenance (the ANN analog of `q_incremental_dedup`):
+    * new vectors are assigned under the index's EXISTING persisted
+    * centroids (consistency with the base cells is what makes the probe
+    * stay correct), written to `delta/batch=<bid>/cell=N`, and committed by
+    * appending the batch id to the `_batches` manifest AFTER the data is
+    * durable.
+    *
+    * `bid` derives deterministically from the batch's content (XOR-fold of
+    * xxhash64(vec_id) ⊕ count — order-independent, overflow-free), so a crashed-and-retried append
+    * OVERWRITES its own batch directory instead of duplicating rows, and a
+    * batch dir with no manifest row is invisible to `search`. Rebuilding
+    * the base index (`build`) invalidates deltas by centroid change, so it
+    * clears `delta/` and the manifest first.
+    */
+  def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
+    require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
+      s"AnnIndex.append: no commit marker at ${commitMarker(indexDir)} — append requires a " +
+        "complete base index (new vectors must be assigned under its persisted centroids)")
+    val idRow = newVectors
+      .agg(expr("bit_xor(xxhash64(vec_id))").as("h"), count(lit(1)).as("n")).collect()(0)
+    require(idRow.getLong(1) > 0, "AnnIndex.append: empty batch")
+    val bid = idRow.getLong(0) ^ idRow.getLong(1)
+    val cent = spark.read.parquet(centroidsDir(indexDir))
+    assignTo(newVectors, cent)
+      .write.mode("overwrite").partitionBy("cell")
+      .option("partitionOverwriteMode", "static")
+      .parquet(s"${deltaDir(indexDir)}/batch=$bid")
+    // the manifest append IS the batch's commit marker
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(bid)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType, false))))
+      .write.mode("append").parquet(batchManifest(indexDir))
+    bid
+  }
+
+  /** Committed appended batches (empty when none were ever appended). */
+  private def committedBatches(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(batchManifest(indexDir))
+    if (!fsOf(spark, indexDir).exists(p)) Seq.empty
+    else spark.read.parquet(batchManifest(indexDir))
+      .select("batch").distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Probe the persisted index: only `nprobe` cell partitions are scanned
+    * — in the base cells AND in every committed appended batch (uncommitted
+    * batch dirs are excluded by the manifest filter, so a crashed append is
+    * invisible). Probes use the centroid table persisted with the index; a
+    * missing commit marker means a build died mid-write and fails fast —
+    * silently probing cells under re-derived or mismatched centroids could
+    * prune the wrong cells and lose recall.
     */
   def search(spark: SparkSession, indexDir: String, embeddings: DataFrame,
       queryVecId: Long, nprobe: Int = 4, k: Int = 10): DataFrame = {
@@ -204,8 +259,18 @@ object AnnIndex {
       .withColumn("qdot", dot("cvec", "qvec"))
       .orderBy(desc("qdot"), asc("cell")).limit(nprobe)
       .select(col("cell")).collect().map(_.getLong(0))
-    spark.read.parquet(cellsDir(indexDir))
+    val base = spark.read.parquet(cellsDir(indexDir))
       .where(col("cell").isin(probeCells.toIndexedSeq: _*)) // partition-pruned scan
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val batches = committedBatches(spark, indexDir)
+    val candidates =
+      if (batches.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(deltaDir(indexDir))
+          .where(col("batch").isin(batches: _*))          // manifest = commit filter
+          .where(col("cell").isin(probeCells.toIndexedSeq: _*)) // same pruning
+          .select(col("vec_id"), col("cell"), col("embedding")))
+    candidates
       .crossJoin(broadcast(q))
       .withColumn("score_exact", dot("embedding", "qvec"))
       .orderBy(desc("score_exact"), asc("vec_id")).limit(k)

@@ -219,4 +219,62 @@ class AnnIndexSpec extends SparkTestBase {
     info(f"clustered corpus: mean recall@10 at nprobe 4/16 = $mean%.3f over ${queries.length} queries")
     assert(mean >= 0.95, f"mean recall $mean%.3f < 0.95")
   }
+
+  test("incremental append: new vectors searchable, idempotent, crash-invisible") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-ann-append").toString + "/index"
+    // base index over the even vec_ids; odd ids arrive later as a batch
+    val base = emb.where($"vec_id" % 2 === 0)
+    val batch = emb.where($"vec_id" % 2 === 1)
+    AnnIndex.build(base, dir, nCells = 16)
+
+    // before append: an odd id can never be returned
+    val pre = AnnIndex.search(spark, dir, emb, 0, nprobe = 16, k = 10)
+      .collect().map(_.getLong(0))
+    assert(pre.forall(_ % 2 == 0))
+
+    val bid = AnnIndex.append(spark, dir, batch)
+    // full probe after append == brute force over the WHOLE corpus
+    val post = AnnIndex.search(spark, dir, emb, 0, nprobe = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = AnnIndex.bruteForce(emb, 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(post == brute)
+
+    // idempotent: re-appending the identical batch overwrites its own dir
+    assert(AnnIndex.append(spark, dir, batch) == bid)
+    val total = spark.read.parquet(s"$dir/delta").count()
+    assert(total == batch.count(), s"re-append duplicated rows: $total")
+
+    // a crashed append (data present, manifest row missing) is invisible
+    val fakeBid = 123456789L
+    batch.limit(5)
+      .select($"vec_id" + 1000000L as "vec_id",
+        org.apache.spark.sql.functions.lit(0L).as("cell"), $"embedding")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/delta/batch=$fakeBid")
+    val afterCrash = AnnIndex.search(spark, dir, emb, 0, nprobe = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(afterCrash == brute, "uncommitted batch leaked into search results")
+
+    // rebuild drops deltas: centroids changed, stale assignments must die
+    AnnIndex.build(base, dir, nCells = 8)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/delta")))
+    val rebuilt = AnnIndex.search(spark, dir, emb, 0, nprobe = 8, k = 10)
+      .collect().map(_.getLong(0))
+    assert(rebuilt.forall(_ % 2 == 0))
+  }
+
+  test("append refuses an uncommitted base index") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-ann-append-bad").toString + "/index"
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, emb.limit(3))
+    }
+    assert(e.getMessage.contains("commit marker"))
+  }
 }
