@@ -107,6 +107,27 @@ object StreamingExtract {
     * bounded-horizon-stream + periodic-batch-compaction split a 100 TB/day
     * ingest runs.
     */
+  /** Stream new embedding vectors INTO the persisted IVF index: each
+    * micro-batch goes through `AnnIndex.append` — assigned under the
+    * index's existing centroids, committed via the batch manifest. Because
+    * the batch id derives from the batch CONTENT, a micro-batch replayed
+    * after a sink failure overwrites its own delta directory and re-commits
+    * the same id: the effect is exactly-once even though foreachBatch is
+    * at-least-once. Empty micro-batches are skipped (append rejects them).
+    */
+  def indexSink(vectors: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.AnnIndex.append(batch.sparkSession, indexDir, batch)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming URL gate — the stateless half of `q_url_curation` on
     * unbounded input: canonicalize (fragment/tracking-param strip,
     * scheme+host lowercasing) and drop blocklisted domains, via the SAME

@@ -163,4 +163,33 @@ class StreamingSpec extends SparkTestBase {
       .as[(String, String, String)].collect().toSeq
     assert(rows == Seq(("u1", "https://www.site3.example.com/Page/7?id=1", "site3.example.com")))
   }
+
+  test("streaming index sink: micro-batches append to the persisted IVF index") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.operators.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    // base index over even vec_ids; odd ids arrive on the stream
+    graft.operators.AnnIndex.build(emb.where($"vec_id" % 2 === 0), s"$dir/index", nCells = 8)
+
+    val odd = emb.where($"vec_id" % 2 === 1)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingExtract.indexSink(
+      stream.toDS().toDF("vec_id", "embedding"), s"$dir/index", s"$dir/ckpt")
+    stream.addData(odd.take(odd.size / 2): _*)
+    q.processAllAvailable()
+    stream.addData(odd.drop(odd.size / 2): _*) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    // full probe after streaming == brute force over the whole corpus
+    val post = graft.operators.AnnIndex
+      .search(spark, s"$dir/index", emb, 0, nprobe = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = graft.operators.AnnIndex.bruteForce(emb, 0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(post == brute)
+    // two committed micro-batches in the manifest
+    assert(spark.read.parquet(s"$dir/index/_batches").distinct().count() == 2)
+  }
 }
