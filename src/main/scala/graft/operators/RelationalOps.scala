@@ -278,6 +278,44 @@ object RelationalOps {
       ev.where(col("event_type") === "click" && col("value") > 190).select("user_id").distinct()
         .except(ev.where(col("event_type") === "purchase" && col("value") > 190).select("user_id").distinct())
         .orderBy("user_id")
+    },
+
+    // Snapshot diff — the incremental-publish primitive between two corpus
+    // versions: per-doc status added / removed / changed / unchanged, with
+    // "changed" decided by content hash, never by re-comparing full text.
+    // Old and new snapshots are derived deterministically from the one
+    // documents table (old = doc_id % 11 <> 0, with doc_id % 13 = 0 texts
+    // truncated to simulate edits; new = doc_id % 7 <> 0), so all four
+    // statuses are populated. One full-outer shuffle join co-partitioned on
+    // doc_id; at 100 TB both sides are bucketed tables on doc_id, making
+    // the join exchange-free.
+    Op("q_snapshot_diff",
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, 50) ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |new AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 13 === 0, substring(col("text"), 1, 50))
+            .otherwise(col("text"))).as("h"))
+      val neu = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      old.as("o").join(neu.as("n"), col("n.doc_id") === col("o.doc_id"), "full_outer")
+        .select(coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+          when(col("o.doc_id").isNull, "added")
+            .when(col("n.doc_id").isNull, "removed")
+            .when(col("o.h") =!= col("n.h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
     }
   )
 }
