@@ -197,6 +197,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
   }
 
+  test("q_snapshot_diff: hash-compare full-outer join, never a nested-loop") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(4000))
+    assert(p.contains("FullOuter"), p.take(4000))
+  }
+
   test("q_gopher_rules: map-only — no exchange below the final sort, scan pruned") {
     val p = plan("q_gopher_rules")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
