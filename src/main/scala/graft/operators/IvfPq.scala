@@ -46,6 +46,10 @@ object IvfPq {
     val spark = embeddings.sparkSession
     val fs = fsOf(spark, indexDir)
     fs.delete(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), false)
+    // a rebuild re-derives centroids AND codebooks — appended deltas were
+    // encoded under the old models, so they die with the marker down
+    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(indexDir)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(batchManifest(indexDir)), true)
     // centroids materialized ONCE (the AnnIndex rule: a lazily re-evaluated
     // Lloyd plan could round a boundary assignment differently)
     val centPlan = AnnIndex.kmeansCentroids(embeddings, nCells, refineIters)
@@ -69,6 +73,46 @@ object IvfPq {
     require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
       s"IvfPq.search: no commit marker at ${commitMarker(indexDir)} — the index at $indexDir " +
         "is from an incomplete build (centroid/codebook/code writes may disagree); rebuild it")
+
+  private def deltaDir(d: String)      = s"$d/delta"
+  private def batchManifest(d: String) = s"$d/_batches"
+
+  /** Incremental append — the [[AnnIndex.append]] protocol lifted to the
+    * composed index: the new batch is assigned under the PERSISTED
+    * centroids and encoded with the PERSISTED codebooks (both are frozen —
+    * that consistency is what keeps probes and ADC lookup tables valid for
+    * old and new rows alike), written to `delta/batch=<bid>/cell=N`, and
+    * committed by a manifest row AFTER the data is durable. The
+    * content-derived batch id makes retried appends overwrite themselves;
+    * `build` clears the deltas because it re-derives both models.
+    */
+  def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
+    requireCommitted(spark, indexDir)
+    val idRow = newVectors
+      .agg(expr("bit_xor(xxhash64(vec_id))").as("h"), count(lit(1)).as("n")).collect()(0)
+    require(idRow.getLong(1) > 0, "IvfPq.append: empty batch")
+    val bid = idRow.getLong(0) ^ idRow.getLong(1)
+    val assigned = AnnIndex.assignTo(newVectors,
+      spark.read.parquet(centroidsDir(indexDir)))
+    PqIndex.encodeAssigned(assigned, PqIndex.loadCodebooks(spark, codebooksDir(indexDir)))
+      .write.mode("overwrite").partitionBy("cell")
+      .option("partitionOverwriteMode", "static")
+      .parquet(s"${deltaDir(indexDir)}/batch=$bid")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(bid)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType, false))))
+      .write.mode("append").parquet(batchManifest(indexDir))
+    bid
+  }
+
+  private def committedBatches(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(batchManifest(indexDir))
+    if (!fsOf(spark, indexDir).exists(p)) Seq.empty
+    else spark.read.parquet(batchManifest(indexDir))
+      .select("batch").distinct().collect().map(_.getLong(0)).toSeq
+  }
 
   /** Top-`nprobe` cells for a query vector — nCells driver-side dot
     * products against the persisted centroid table (ties broken by cell).
@@ -104,8 +148,18 @@ object IvfPq {
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val cells = probeCells(spark, indexDir, q, nprobe)
     val cb = PqIndex.loadCodebooks(spark, codebooksDir(indexDir))
-    val cand = spark.read.parquet(codesDir(indexDir))
+    val baseCodes = spark.read.parquet(codesDir(indexDir))
       .where(col("cell").isin(cells: _*)) // partition-pruned scan of 8 B/vec codes
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val batches = committedBatches(spark, indexDir)
+    val codes =
+      if (batches.isEmpty) baseCodes
+      else baseCodes.unionByName(
+        spark.read.parquet(deltaDir(indexDir))
+          .where(col("batch").isin(batches: _*))   // manifest = commit filter
+          .where(col("cell").isin(cells: _*))
+          .select(col("vec_id"), col("cell"), col("codes")))
+    val cand = codes
       .select(col("vec_id"), PqIndex.adcScore(cb, q).as("score_adc"))
       .orderBy(desc("score_adc"), asc("vec_id")).limit(candidates)
       .select(col("vec_id"))

@@ -143,4 +143,34 @@ class PqIndexSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
+
+  test("IVF x PQ incremental append: new vectors searchable under frozen models, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString + "/index"
+    val base = clustered.where(col("vec_id") % 2 === 0)
+    val batch = clustered.where(col("vec_id") % 2 === 1)
+    // models trained on the base half only; the appended half reuses them
+    IvfPq.build(base, dir, nCells = 16, refineIters = 2, numSub = 8, codebookK = 16)
+    val bid = IvfPq.append(spark, dir, batch)
+
+    // recall over the COMBINED corpus stays high even though the appended
+    // half never influenced centroids or codebooks
+    val queries = Seq(0L, 64L, 130L, 513L, 999L, 777L)
+    val recalls = queries.map { qid =>
+      val brute = bruteTop10(clustered, qid)
+      val got = IvfPq.search(spark, dir, clustered, qid, nprobe = 4, k = 10, candidates = 64)
+        .collect().map(_.getLong(0)).toSet
+      brute.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVFxPQ append: recall@10 $mean%.3f over ${queries.length} queries (models from half the corpus)")
+    assert(mean >= 0.9, f"recall $mean%.3f < 0.9 after append")
+
+    // idempotent re-append; rebuild clears deltas
+    assert(IvfPq.append(spark, dir, batch) == bid)
+    assert(spark.read.parquet(s"$dir/delta").count() == batch.count())
+    IvfPq.build(base, dir, nCells = 16)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/delta")))
+  }
 }
