@@ -168,8 +168,7 @@ object AnnIndex {
     fs.delete(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), false)
     // a rebuild changes the centroids, so every appended delta batch was
     // assigned under stale centroids — drop them with the marker down
-    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(indexDir)), true)
-    fs.delete(new org.apache.hadoop.fs.Path(batchManifest(indexDir)), true)
+    DeltaBatches.clear(spark, indexDir)
     // Materialize the centroids ONCE (nCells rows): Lloyd's avg() merges
     // partial sums in shuffle-fetch order, so two lazy evaluations of the
     // same plan could round a boundary assignment differently — the cells
@@ -190,9 +189,6 @@ object AnnIndex {
     fs.create(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), true).close()
   }
 
-  private def deltaDir(indexDir: String)       = s"$indexDir/delta"
-  private def batchManifest(indexDir: String)  = s"$indexDir/_batches"
-
   /** Append a batch of new vectors to a COMMITTED index without rebuilding
     * — daily index maintenance (the ANN analog of `q_incremental_dedup`):
     * new vectors are assigned under the index's EXISTING persisted
@@ -212,31 +208,25 @@ object AnnIndex {
     require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
       s"AnnIndex.append: no commit marker at ${commitMarker(indexDir)} — append requires a " +
         "complete base index (new vectors must be assigned under its persisted centroids)")
-    val idRow = newVectors
-      .agg(expr("bit_xor(xxhash64(vec_id))").as("h"), count(lit(1)).as("n")).collect()(0)
-    require(idRow.getLong(1) > 0, "AnnIndex.append: empty batch")
-    val bid = idRow.getLong(0) ^ idRow.getLong(1)
+    // a vec_id may live in the index once: check base cells + committed deltas
+    val bid = DeltaBatches.contentId(newVectors, "AnnIndex.append")
+    // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
+    // successful commit) is a no-op — that, plus overwrite-on-retry below,
+    // is what gives the streaming sink its exactly-once effect
+    if (DeltaBatches.committed(spark, indexDir).contains(bid)) return bid
+    // a vec_id may live in the index once: check base + committed deltas
+    val existing = spark.read.parquet(cellsDir(indexDir)).select("vec_id")
+    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"))
+      .map(existing.unionByName(_)).getOrElse(existing)
+    DeltaBatches.requireDisjoint(existingAll, newVectors, "AnnIndex.append")
     val cent = spark.read.parquet(centroidsDir(indexDir))
     assignTo(newVectors, cent)
       .write.mode("overwrite").partitionBy("cell")
       .option("partitionOverwriteMode", "static")
-      .parquet(s"${deltaDir(indexDir)}/batch=$bid")
+      .parquet(s"${DeltaBatches.deltaDir(indexDir)}/batch=$bid")
     // the manifest append IS the batch's commit marker
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(bid)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("batch",
-          org.apache.spark.sql.types.LongType, false))))
-      .write.mode("append").parquet(batchManifest(indexDir))
+    DeltaBatches.commit(spark, indexDir, bid)
     bid
-  }
-
-  /** Committed appended batches (empty when none were ever appended). */
-  private def committedBatches(spark: SparkSession, indexDir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(batchManifest(indexDir))
-    if (!fsOf(spark, indexDir).exists(p)) Seq.empty
-    else spark.read.parquet(batchManifest(indexDir))
-      .select("batch").distinct().collect().map(_.getLong(0)).toSeq
   }
 
   /** Probe the persisted index: only `nprobe` cell partitions are scanned
@@ -262,14 +252,11 @@ object AnnIndex {
     val base = spark.read.parquet(cellsDir(indexDir))
       .where(col("cell").isin(probeCells.toIndexedSeq: _*)) // partition-pruned scan
       .select(col("vec_id"), col("cell"), col("embedding"))
-    val batches = committedBatches(spark, indexDir)
-    val candidates =
-      if (batches.isEmpty) base
-      else base.unionByName(
-        spark.read.parquet(deltaDir(indexDir))
-          .where(col("batch").isin(batches: _*))          // manifest = commit filter
-          .where(col("cell").isin(probeCells.toIndexedSeq: _*)) // same pruning
-          .select(col("vec_id"), col("cell"), col("embedding")))
+    val candidates = DeltaBatches
+      .committedDeltaRows(spark, indexDir, Seq("vec_id", "cell", "embedding"))
+      .map(d => base.unionByName(
+        d.where(col("cell").isin(probeCells.toIndexedSeq: _*)))) // same pruning
+      .getOrElse(base)
     candidates
       .crossJoin(broadcast(q))
       .withColumn("score_exact", dot("embedding", "qvec"))

@@ -70,23 +70,33 @@ object EvalOps {
     // `100*(rate(errors)/(rate(ingested)+rate(errors)))` becomes the
     // per-window percentage. One partial-agg'd shuffle on the hour key;
     // each ratio is a single correctly-rounded division over exact counts.
+    // The per-minute rate divides by the OBSERVED span inside the bucket
+    // (exact microsecond bounds, floored at one minute), not a fixed 60 —
+    // a partially covered first/last hour would otherwise understate the
+    // rate the panel claims to measure. span_us is an exact BIGINT diff,
+    // so the double arithmetic is order-free and bit-identical cross-engine.
     Op("q_ingest_rates",
       """WITH w AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |    CAST(count(*) AS BIGINT) AS total_events,
-        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_events
+        |    CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_events,
+        |    CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us
         |  FROM events GROUP BY 1)
         |SELECT hour, total_events, error_events,
-        |  CAST(total_events - error_events AS DOUBLE) / 60.0 AS ingested_per_min,
+        |  CAST(total_events - error_events AS DOUBLE) /
+        |    (CAST(greatest(span_us, 60000000) AS DOUBLE) / 60000000.0) AS ingested_per_min,
         |  100.0 * (CAST(error_events AS DOUBLE) / CAST(total_events AS DOUBLE)) AS error_rate_pct
         |FROM w ORDER BY hour""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
         .agg(
           count(lit(1)).as("total_events"),
-          count(when(col("event_type") === "error", 1)).as("error_events"))
+          count(when(col("event_type") === "error", 1)).as("error_events"),
+          (max(unix_micros(col("ts").cast("timestamp"))) -
+            min(unix_micros(col("ts").cast("timestamp")))).cast("bigint").as("span_us"))
         .select(col("hour"), col("total_events"), col("error_events"),
-          ((col("total_events") - col("error_events")).cast("double") / 60.0)
+          ((col("total_events") - col("error_events")).cast("double") /
+            (greatest(col("span_us"), lit(60000000L)).cast("double") / 60000000.0))
             .as("ingested_per_min"),
           (lit(100.0) * (col("error_events").cast("double") / col("total_events").cast("double")))
             .as("error_rate_pct"))

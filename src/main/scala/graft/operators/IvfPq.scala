@@ -48,8 +48,7 @@ object IvfPq {
     fs.delete(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), false)
     // a rebuild re-derives centroids AND codebooks — appended deltas were
     // encoded under the old models, so they die with the marker down
-    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(indexDir)), true)
-    fs.delete(new org.apache.hadoop.fs.Path(batchManifest(indexDir)), true)
+    DeltaBatches.clear(spark, indexDir)
     // centroids materialized ONCE (the AnnIndex rule: a lazily re-evaluated
     // Lloyd plan could round a boundary assignment differently)
     val centPlan = AnnIndex.kmeansCentroids(embeddings, nCells, refineIters)
@@ -74,9 +73,6 @@ object IvfPq {
       s"IvfPq.search: no commit marker at ${commitMarker(indexDir)} — the index at $indexDir " +
         "is from an incomplete build (centroid/codebook/code writes may disagree); rebuild it")
 
-  private def deltaDir(d: String)      = s"$d/delta"
-  private def batchManifest(d: String) = s"$d/_batches"
-
   /** Incremental append — the [[AnnIndex.append]] protocol lifted to the
     * composed index: the new batch is assigned under the PERSISTED
     * centroids and encoded with the PERSISTED codebooks (both are frozen —
@@ -88,30 +84,24 @@ object IvfPq {
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
     requireCommitted(spark, indexDir)
-    val idRow = newVectors
-      .agg(expr("bit_xor(xxhash64(vec_id))").as("h"), count(lit(1)).as("n")).collect()(0)
-    require(idRow.getLong(1) > 0, "IvfPq.append: empty batch")
-    val bid = idRow.getLong(0) ^ idRow.getLong(1)
+    val bid = DeltaBatches.contentId(newVectors, "IvfPq.append")
+    // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
+    // successful commit) is a no-op — that, plus overwrite-on-retry below,
+    // is what gives the streaming sink its exactly-once effect
+    if (DeltaBatches.committed(spark, indexDir).contains(bid)) return bid
+    // a vec_id may live in the index once: check base + committed deltas
+    val existing = spark.read.parquet(codesDir(indexDir)).select("vec_id")
+    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"))
+      .map(existing.unionByName(_)).getOrElse(existing)
+    DeltaBatches.requireDisjoint(existingAll, newVectors, "IvfPq.append")
     val assigned = AnnIndex.assignTo(newVectors,
       spark.read.parquet(centroidsDir(indexDir)))
     PqIndex.encodeAssigned(assigned, PqIndex.loadCodebooks(spark, codebooksDir(indexDir)))
       .write.mode("overwrite").partitionBy("cell")
       .option("partitionOverwriteMode", "static")
-      .parquet(s"${deltaDir(indexDir)}/batch=$bid")
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(bid)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("batch",
-          org.apache.spark.sql.types.LongType, false))))
-      .write.mode("append").parquet(batchManifest(indexDir))
+      .parquet(s"${DeltaBatches.deltaDir(indexDir)}/batch=$bid")
+    DeltaBatches.commit(spark, indexDir, bid)
     bid
-  }
-
-  private def committedBatches(spark: SparkSession, indexDir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(batchManifest(indexDir))
-    if (!fsOf(spark, indexDir).exists(p)) Seq.empty
-    else spark.read.parquet(batchManifest(indexDir))
-      .select("batch").distinct().collect().map(_.getLong(0)).toSeq
   }
 
   /** Top-`nprobe` cells for a query vector — nCells driver-side dot
@@ -151,14 +141,10 @@ object IvfPq {
     val baseCodes = spark.read.parquet(codesDir(indexDir))
       .where(col("cell").isin(cells: _*)) // partition-pruned scan of 8 B/vec codes
       .select(col("vec_id"), col("cell"), col("codes"))
-    val batches = committedBatches(spark, indexDir)
-    val codes =
-      if (batches.isEmpty) baseCodes
-      else baseCodes.unionByName(
-        spark.read.parquet(deltaDir(indexDir))
-          .where(col("batch").isin(batches: _*))   // manifest = commit filter
-          .where(col("cell").isin(cells: _*))
-          .select(col("vec_id"), col("cell"), col("codes")))
+    val codes = DeltaBatches
+      .committedDeltaRows(spark, indexDir, Seq("vec_id", "cell", "codes"))
+      .map(d => baseCodes.unionByName(d.where(col("cell").isin(cells: _*))))
+      .getOrElse(baseCodes)
     val cand = codes
       .select(col("vec_id"), PqIndex.adcScore(cb, q).as("score_adc"))
       .orderBy(desc("score_adc"), asc("vec_id")).limit(candidates)

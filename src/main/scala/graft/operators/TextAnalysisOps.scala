@@ -51,15 +51,22 @@ object TextAnalysisOps {
     * `canon_url` and `domain`; the staging column is dropped.
     */
   private[graft] def withCanonUrl(df: org.apache.spark.sql.DataFrame, urlCol: String): org.apache.spark.sql.DataFrame = {
-    val hostPat = "'^https://[^/]+'"
+    // scheme-flexible: http://, https://, any RFC-3986 scheme — a blocklist
+    // gate that only recognized literal 'https://' would silently pass
+    // blocklisted domains arriving over http
+    val hostPat = "'^[A-Za-z][A-Za-z0-9+.-]*://[^/]+'"
+    // Tracking-param strip is anchored on the PRECEDING separator
+    // ('[?&](utm_…|ref)='), so parameter names merely ENDING in 'ref'
+    // (href=, xref=) never match; the consumed separator is repaired by the
+    // '^([^?&]*)&' → '$1?' pass (only fires when the '?' itself was eaten).
     df.withColumn("_url_trimmed", expr(
-        s"regexp_replace(regexp_replace(regexp_replace($urlCol," +
-          s" '#.*$$', ''), '(utm_[a-z]+|ref)=[^&]*&?', ''), '[?&]+$$', '')"))
+        s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($urlCol," +
+          s" '#.*$$', ''), '[?&](utm_[a-z]+|ref)=[^&]*', ''), '^([^?&]*)&', '$$1?'), '[?&]+$$', '')"))
       .withColumn("canon_url", expr(
         s"concat(lower(regexp_extract(_url_trimmed, $hostPat, 0))," +
           s" substr(_url_trimmed, length(regexp_extract(_url_trimmed, $hostPat, 0)) + 1))"))
       .withColumn("domain", expr(
-        "regexp_replace(regexp_extract(canon_url, '^https://([^/]+)', 1), '^www[.]', '')"))
+        "regexp_replace(regexp_extract(canon_url, '://([^/]+)', 1), '^www[.]', '')"))
       .drop("_url_trimmed")
   }
 
@@ -470,16 +477,16 @@ object TextAnalysisOps {
         |  FROM documents),
         |trimmed AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(url,
-        |      '#.*$', ''), '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'), '[?&]+$', '') AS t
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+        |      '#.*$', ''), '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'), '^([^?&]*)&', '\1?'), '[?&]+$', '') AS t
         |  FROM raw),
         |canon AS (
         |  SELECT doc_id,
-        |    lower(regexp_extract(t, '^https://[^/]+')) || substr(t, length(regexp_extract(t, '^https://[^/]+')) + 1) AS canon_url
+        |    lower(regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+')) || substr(t, length(regexp_extract(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+')) + 1) AS canon_url
         |  FROM trimmed),
         |dom AS (
         |  SELECT doc_id, canon_url,
-        |    regexp_replace(regexp_extract(canon_url, '^https://([^/]+)', 1), '^www[.]', '') AS domain
+        |    regexp_replace(regexp_extract(canon_url, '://([^/]+)', 1), '^www[.]', '') AS domain
         |  FROM canon),
         |ranked AS (
         |  SELECT doc_id, canon_url, domain,

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction for a parquet table directory — the Iceberg
   * `rewrite_data_files` maintenance action re-expressed over plain parquet.
@@ -12,15 +12,23 @@ import org.apache.spark.sql.functions.col
   * open() overhead of millions of tiny files dominates read cost, so
   * compaction is a first-class maintenance job, not a nicety.
   *
-  * Protocol — write-new then swap, never in-place (a kill at any point
-  * leaves either the old table or the new one, both complete):
+  * Protocol — write-new then swap, never in-place:
   *
-  *   1. read the table, coalesce to ceil(totalBytes / targetFileBytes)
-  *      output tasks (partitioned tables: one shuffle keyed by the
-  *      partition columns so each partition directory compacts to its own
-  *      file set and partition pruning is preserved);
+  *   1. read the table, redistribute into ceil(totalBytes/targetFileBytes)
+  *      output tasks. Partitioned tables shuffle on (partition columns,
+  *      row-hash salt): the salt splits a LARGE partition value across
+  *      many tasks (each writes its own ~target-sized file into that
+  *      partition's directory), while the directory layout — and with it
+  *      partition pruning — survives the rewrite;
   *   2. write to a sibling `<dir>__compact_tmp` directory;
-  *   3. swap: rename old → `<dir>__compact_old`, tmp → dir, delete old.
+  *   3. swap: rename old → `<dir>__compact_old`, tmp → dir, drop old.
+  *
+  * Crash safety: a kill during (1)/(2) leaves the original table untouched
+  * (tmp is invisible). The swap itself has one unavoidable gap — between
+  * the two renames the table path is briefly absent — so `compact` REPAIRS
+  * on entry: if the table dir is missing but `__compact_old` exists, the
+  * previous crashed swap is rolled back before anything else runs. Every
+  * state is thus recoverable by re-running the job.
   *
   * Row multiset is unchanged (parquet table semantics carry no row order);
   * `CompactionSpec` asserts content equality and the file-count drop.
@@ -29,17 +37,21 @@ object Compact {
 
   final case class Result(filesBefore: Int, filesAfter: Int, bytes: Long)
 
-  private def dataFiles(spark: SparkSession, dir: String): Seq[Path] = {
+  /** (path, length) of every data file, from ONE recursive listing — the
+    * LocatedFileStatus already carries the length, so no per-file re-stat
+    * (millions of files = millions of avoided namenode/object-store RPCs).
+    */
+  private def dataFiles(spark: SparkSession, dir: String): Seq[(Path, Long)] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else {
       val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      val buf = scala.collection.mutable.ArrayBuffer[(Path, Long)]()
       while (it.hasNext) {
         val f = it.next()
         val name = f.getPath.getName
-        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) buf += f.getPath
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) buf += ((f.getPath, f.getLen))
       }
       buf.toSeq
     }
@@ -51,20 +63,34 @@ object Compact {
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil): Result = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"${dir}__compact_tmp"
+    val old = s"${dir}__compact_old"
+
+    // repair a crashed swap from a previous run: table dir missing but the
+    // old table still parked aside -> roll it back, then proceed normally
+    if (!fs.exists(new Path(dir)) && fs.exists(new Path(old)))
+      require(fs.rename(new Path(old), new Path(dir)),
+        s"compaction repair failed restoring $old to $dir — fix manually before re-running")
+    fs.delete(new Path(tmp), true)
+
     val before = dataFiles(spark, dir)
-    val totalBytes = before.map(p => fs.getFileStatus(p).getLen).sum
+    val totalBytes = before.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
     val df = spark.read.parquet(dir)
     val compacted =
       if (partitionBy.isEmpty) df.repartition(nOut)
-      // partitioned table: shuffle on the partition columns so every
-      // partition directory's rows land in as few tasks as possible while
-      // the directory layout (and thus pruning) survives the rewrite
-      else df.repartition(math.max(nOut, partitionBy.size), partitionBy.map(col): _*)
+      else {
+        // (partition cols, row-hash salt) shuffle: a partition value larger
+        // than targetFileBytes spreads across up to nOut tasks, each
+        // writing its own file into that partition's directory — without
+        // the salt every partition value collapses to ONE writer task and
+        // the target file size is ignored
+        val salted = df.withColumn("_salt",
+          pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(nOut.toLong)))
+        salted.repartition(nOut, (partitionBy.map(col) :+ col("_salt")): _*).drop("_salt")
+      }
 
-    val tmp = s"${dir}__compact_tmp"
-    val old = s"${dir}__compact_old"
     val w = compacted.write.mode(SaveMode.Overwrite)
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).parquet(tmp)
 

@@ -38,8 +38,29 @@ object ExtractMain {
     val docs = DocSynth.docs(spark, inDir)
     // Storage backend for the group-committed checkpoint: parquet (dynamic
     // partition-overwrite) or jsonl (explicit staging+rename protocol) —
-    // both pass the SpanWriterContractSpec behavioral contract.
-    val (writer, readLineage) = args.lift(4).getOrElse("parquet") match {
+    // both pass the SpanWriterContractSpec behavioral contract. The backend
+    // is PINNED per outDir via a `_writer` marker: resuming a parquet run
+    // with the jsonl reader (or vice versa) would misparse the lineage and
+    // silently mix formats, so a mismatch — or a typo'd backend name —
+    // fails fast instead.
+    val backend = args.lift(4).getOrElse("parquet")
+    require(backend == "parquet" || backend == "jsonl",
+      s"unknown writer backend '$backend' — expected parquet or jsonl")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writerMarker = new org.apache.hadoop.fs.Path(s"$outDir/_writer")
+    if (fs.exists(writerMarker)) {
+      val in = fs.open(writerMarker)
+      val pinned = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(pinned == backend,
+        s"outDir $outDir was written with the '$pinned' backend; resuming with " +
+          s"'$backend' would misread its lineage — pass '$pinned' (or a fresh outDir)")
+    } else {
+      val out = fs.create(writerMarker, true)
+      try out.write(backend.getBytes("UTF-8")) finally out.close()
+    }
+    val (writer, readLineage) = backend match {
       case "jsonl" =>
         (new JsonlSpanWriter(spark, outDir),
           () => JsonlSpanWriter.readLineage(spark, outDir))

@@ -121,10 +121,16 @@ object StreamingExtract {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.AnnIndex.append(batch.sparkSession, indexDir, batch)
-          ()
-        }
+        // persist: append runs three actions over the batch (content-id agg,
+        // disjointness check, delta write) — without the persist each one
+        // would re-execute the micro-batch's source plan
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            graft.operators.AnnIndex.append(b.sparkSession, indexDir, b)
+            ()
+          }
+        } finally { b.unpersist(); () }
       }
       .start()
 

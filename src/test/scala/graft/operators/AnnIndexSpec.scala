@@ -242,10 +242,18 @@ class AnnIndexSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(post == brute)
 
-    // idempotent: re-appending the identical batch overwrites its own dir
+    // idempotent: re-appending the identical batch is a committed no-op
     assert(AnnIndex.append(spark, dir, batch) == bid)
     val total = spark.read.parquet(s"$dir/delta").count()
     assert(total == batch.count(), s"re-append duplicated rows: $total")
+
+    // an overlapping-but-DIFFERENT batch (same ids, different content id)
+    // must be rejected — upsert is unsupported, duplicates would corrupt top-k
+    val overlap = batch.limit(3)
+    val dupErr = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, overlap)
+    }
+    assert(dupErr.getMessage.contains("already in the index"), dupErr.getMessage)
 
     // a crashed append (data present, manifest row missing) is invisible
     val fakeBid = 123456789L

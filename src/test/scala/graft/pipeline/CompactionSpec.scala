@@ -52,4 +52,36 @@ class CompactionSpec extends SparkTestBase {
     val scanned = pruned.queryExecution.executedPlan.toString
     assert(scanned.contains("PartitionFilters: [isnotnull(grp"), scanned.take(2000))
   }
+
+  test("a crashed swap (table renamed aside, new table not installed) self-repairs") {
+    val dir = Files.createTempDirectory("graft-compact-crash").toString + "/t"
+    spark.range(100).selectExpr("id AS doc_id", "repeat('z', 20) AS text")
+      .repartition(8).write.parquet(dir)
+    val rows = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    // simulate a kill between the two swap renames: dir is gone, old exists
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"${dir}__compact_old")))
+
+    val r = Compact.compact(spark, dir, targetFileBytes = 8L * 1024 * 1024)
+    assert(r.filesBefore == 8 && r.filesAfter < 8)
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == rows)
+  }
+
+  test("partitioned compaction splits an oversized partition across multiple files") {
+    val dir = Files.createTempDirectory("graft-compact-big").toString + "/t"
+    // one dominant partition; tiny target forces it to split
+    spark.range(20000)
+      .selectExpr("id AS doc_id", "CAST(0 AS BIGINT) AS grp",
+        "repeat(md5(cast(id as string)), 8) AS text") // incompressible payload
+      .repartition(4).write.partitionBy("grp").parquet(dir)
+    val r = Compact.compact(spark, dir, targetFileBytes = 64L * 1024, partitionBy = Seq("grp"))
+    val files = new java.io.File(s"$dir/grp=0").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files > 1, s"oversized partition compacted to a single writer file (files=$files)")
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
 }

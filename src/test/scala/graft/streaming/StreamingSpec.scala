@@ -156,12 +156,16 @@ class StreamingSpec extends SparkTestBase {
     stream.addData(
       ("u1", "https://WWW.Site3.Example.COM/Page/7?utm_source=feed&id=1&ref=rss#s2"),
       ("u2", "https://www.site13.example.com/Page/1?id=2"), // blocklisted
-      ("u3", "https://Site31.EXAMPLE.com/x?utm_medium=a"))  // blocklisted (no www.)
+      ("u3", "https://Site31.EXAMPLE.com/x?utm_medium=a"),  // blocklisted (no www.)
+      ("u4", "http://site13.example.com/y"),                // blocklisted over PLAIN http
+      ("u5", "https://ok.example.net/p?href=b&id=2&utm_a=1&utm_b=2")) // href= is NOT a tracking param
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("url_gate").select("doc_id", "canon_url", "domain")
-      .as[(String, String, String)].collect().toSeq
-    assert(rows == Seq(("u1", "https://www.site3.example.com/Page/7?id=1", "site3.example.com")))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("u1", "https://www.site3.example.com/Page/7?id=1", "site3.example.com"),
+      ("u5", "https://ok.example.net/p?href=b&id=2", "ok.example.net")))
   }
 
   test("streaming index sink: micro-batches append to the persisted IVF index") {
