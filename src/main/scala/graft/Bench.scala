@@ -97,8 +97,12 @@ object Bench {
     if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
   }
 
+  // Locale.ROOT formatting: f"%.3f" under a decimal-comma default locale
+  // would emit "2,345" — silently wrong minima after arrMin's split(",")
+  // and a malformed JSON artifact.
   private def jsonArr(xs: Seq[Double]): String =
-    xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    xs.map(x => String.format(java.util.Locale.ROOT, "%.3f", Double.box(x)))
+      .mkString("[", ",", "]")
 
   /** Extraction phases — chunk-mode, semantic-mode, and the sustained
     * (replicated-corpus) run. Every rep's seconds are recorded, plus GC
@@ -127,7 +131,14 @@ object Bench {
     // shuffle dirs auto-cleaned to 5 MB and dirty pages flushed between
     // reps) that any recorded degradation is co-tenant, not accumulation.
     val repl = sys.env.getOrElse("SPARK_GRAFT_SUSTAINED_REPL", "1200").toInt
-    val nSus = sys.env.get("SPARK_GRAFT_SUSTAINED_REPS").flatMap(_.toIntOption).getOrElse(4)
+    // same loud-fail policy as SPARK_GRAFT_QUERY_REPS: a typo'd value must
+    // not silently fall back, and reps < 1 would emit an empty array that
+    // crashes the parent's min AFTER the whole run — clamp instead
+    val nSus = sys.env.get("SPARK_GRAFT_SUSTAINED_REPS") match {
+      case None => 4
+      case Some(v) => math.max(1, v.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_SUSTAINED_REPS must be an integer, got: '$v'")))
+    }
     val loads = scala.collection.mutable.ArrayBuffer[Double]()
     val gcs = scala.collection.mutable.ArrayBuffer[Double]()
     val cpus = scala.collection.mutable.ArrayBuffer[Double]()
@@ -187,6 +198,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the artifact is machine-parsed JSON: every f"" interpolation in this
+    // process (parent AND child re-entry) must format with '.' decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 

@@ -90,6 +90,8 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // '.' decimals in the JSON line
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPL", "1200").toInt

@@ -331,9 +331,48 @@ object DedupOps {
     val featDir = s"$stageDir/features"
     val marker = new org.apache.hadoop.fs.Path(s"$stageDir/_features_done")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    // The marker records the INPUT IDENTITY (path + file-metadata
+    // fingerprint of documents.parquet — lengths and mtimes, no data
+    // scan), not just "done": a staged feature table is only reusable for
+    // the exact input it was computed from. A resume against the same
+    // input skips the feature pass; a re-run against a refreshed or
+    // different corpus recomputes instead of silently serving stale
+    // features labeled as the new run.
+    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val docsFs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // None = input not reachable (decommissioned after staging — the
+    // resume-from-stage-alone case the kill/resume test exercises): trust
+    // the committed marker. Some(ident) = input visible: a committed stage
+    // is only reused if the identity matches what it was computed from.
+    val ident: Option[String] =
+      try {
+        val parts =
+          if (docsFs.getFileStatus(docsPath).isDirectory)
+            docsFs.listStatus(docsPath).filter(_.isFile)
+              .sortBy(_.getPath.getName)
+              .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          else {
+            val f = docsFs.getFileStatus(docsPath)
+            Array(s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          }
+        Some(s"$dir\n${parts.mkString("\n")}")
+      } catch { case _: java.io.FileNotFoundException => None }
+    val staleOrMissing =
+      if (!fs.exists(marker)) true
+      else ident match {
+        case None => false // input gone: the committed stage is the truth
+        case Some(id) =>
+          val in = fs.open(marker)
+          val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          recorded != id
+      }
+    if (staleOrMissing) {
+      fs.delete(marker, false) // stale marker down BEFORE the data rewrite
       docFeatures(s, dir).write.mode("overwrite").parquet(featDir)
-      fs.create(marker, true).close()
+      val out = fs.create(marker, true)
+      // reaching here means the input was scanned, so ident is defined
+      try out.write(ident.get.getBytes("UTF-8")) finally out.close()
     }
     val st = curationStagesFrom(s.read.parquet(featDir))
     (curatedFrom(st), funnelFrom(st))

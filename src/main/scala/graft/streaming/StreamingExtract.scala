@@ -89,14 +89,26 @@ object StreamingExtract {
   def nearDedupStream(
       docs: DataFrame,
       watermark: String = "10 minutes",
-      windowLen: String = "5 minutes"): DataFrame =
-    graft.operators.DedupOps.withBandBuckets(docs)
+      windowLen: String = "5 minutes"): DataFrame = {
+    val banded = graft.operators.DedupOps.withBandBuckets(docs)
+    // Docs under the 3-token shingle minimum have no MinHash bands — the
+    // band path would silently DROP them (they'd contribute zero rows).
+    // They get one synthetic content-hash bucket instead: identical short
+    // docs inside the horizon still dedup (exact semantics — the only
+    // near-dup notion that exists below shingle length), novel ones pass.
+    val short = docs
+      .where(expr("size(filter(split(text, ' '), t -> t <> '')) < 3"))
+      .withColumn("band", lit(-1))
+      .withColumn("bh", md5(concat(lit("short|"), col("text"))))
+      .select(banded.columns.map(col).toIndexedSeq: _*)
+    banded.unionByName(short)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("bh")
       .groupBy(window(col("ts"), windowLen), col("doc_id"))
       .agg(first(col("text")).as("text"), count(lit(1)).as("novel_bands"))
       .select(col("window.start").as("window_start"), col("doc_id"),
         col("text"), col("novel_bands"))
+  }
 
   /** Streaming corpus curation — the batch curation pipeline's stateless
     * stages (quality gate, PII scrub) run UNCHANGED on unbounded input

@@ -163,6 +163,27 @@ class PipelineSpec extends SparkTestBase {
     graft.operators.DedupOps.docFeatures(spark, sfDir).limit(7)
       .write.mode("overwrite").parquet(s"$stage/features")
 
+  test("curation staging: a visibly CHANGED input invalidates the stage (no stale serve)") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.functions.col
+    val stage = Files.createTempDirectory("graft-curate-stale").toString
+    val inDir = Files.createTempDirectory("graft-curate-input").toString
+    // v1 input: the full documents table, copied so it can be replaced
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$inDir/documents.parquet")
+    val (c1, _) = DedupOps.curationRunStaged(spark, inDir, stage)
+    val v1 = c1.count()
+    // v2 input: the corpus visibly changes (halved) at the same path
+    spark.read.parquet(s"$sfDir/documents.parquet").where(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$inDir/documents.parquet")
+    val (c2, _) = DedupOps.curationRunStaged(spark, inDir, stage)
+    val v2 = c2.count()
+    assert(v2 < v1, s"stage served stale v1 features for the v2 input (v1=$v1 v2=$v2)")
+    // and the v2 stage is itself stable on an unchanged re-run
+    val (c3, _) = DedupOps.curationRunStaged(spark, inDir, stage)
+    assert(c3.count() == v2)
+  }
+
   test("paragraph mode: spans are kernel extract_paragraphs outputs in order") {
     import graft.kernel.{ExtractMode, Paragraphs}
     val docs = DocSynth.docs(spark, sfDir)

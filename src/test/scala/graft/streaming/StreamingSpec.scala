@@ -132,6 +132,26 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set("A", "C", "D", "E"), s"kept=$kept")
   }
 
+  test("streaming near-dup: short docs are exact-deduped, never silently dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val df = stream.toDS().toDF("ts", "doc_id", "text")
+    val q = StreamingExtract.nearDedupStream(df, watermark = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("neardedup_short").outputMode("append").start()
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "S1", "hello world"),   // < 3 tokens: no bands
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "S2", "hello world"),   // exact short dup -> dropped
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "S3", "goodbye moon"))  // novel short -> kept
+    q.processAllAvailable()
+    stream.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "Z",
+      (0 until 80).map(i => s"zeta$i").mkString(" "))) // close the windows
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardedup_short").select("doc_id").as[String].collect().toSet
+    assert(kept.contains("S1") && kept.contains("S3"), s"short docs vanished: kept=$kept")
+    assert(!kept.contains("S2"), s"exact short duplicate not dropped: kept=$kept")
+  }
+
   test("stateful running span counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(String, Int)]
