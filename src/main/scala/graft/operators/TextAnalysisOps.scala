@@ -459,6 +459,48 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     },
 
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score each document by
+    // how target-like its HASHED token features are. Hashing the features
+    // into 4096 buckets is DSIR's core trick — it bounds the model so the
+    // per-bucket count table BROADCASTS no matter the corpus size (plan-
+    // gated). Target = lang 'en', raw = the rest; per-token weight is the
+    // Laplace-smoothed posterior P(target | bucket) in fixed-point micro
+    // units (DSIR's log-ratio needs ln, which is not bit-stable across
+    // engines — the posterior form is one correctly-rounded division, so
+    // both engines agree exactly; ranking order for resampling survives
+    // the transform per-token).
+    Op("q_dsir_weight",
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($toksDuck) AS tok FROM documents),
+         |b AS (SELECT doc_id, lang, ${h60Duck("tok")} % 4096 AS bucket FROM toks),
+         |counts AS (SELECT bucket,
+         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t,
+         |    CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS c_r
+         |  FROM b GROUP BY 1),
+         |scored AS (SELECT d.doc_id,
+         |    CAST(floor(1000000.0 * (CAST(c.c_t + 1 AS DOUBLE) / CAST(c.c_t + c.c_r + 2 AS DOUBLE))) AS BIGINT) AS micro
+         |  FROM b d JOIN counts c ON c.bucket = d.bucket)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(micro) AS BIGINT) AS weight_sum_micro,
+         |  CAST(sum(micro) AS DOUBLE) / count(*) AS affinity_micro
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val b = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(expr(toksSpark)).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"${h60Spark("tok")} % 4096").as("bucket"))
+      val counts = b.groupBy("bucket").agg(
+        count(when(col("lang") === "en", 1)).as("c_t"),
+        count(when(col("lang") =!= "en", 1)).as("c_r"))
+      b.join(broadcast(counts), Seq("bucket")) // 4096-row model: always broadcast
+        .select(col("doc_id"), expr(
+          "cast(floor(1000000.0 * (cast(c_t + 1 as double) / cast(c_t + c_r + 2 as double))) as bigint)").as("micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_feats"),
+          sum(col("micro")).cast("bigint").as("weight_sum_micro"))
+        .withColumn("affinity_micro", col("weight_sum_micro").cast("double") / col("n_feats"))
+        .orderBy("doc_id")
+    },
+
     // URL curation (the RefinedWeb/C4-style web-source stage): canonicalize
     // the document URL (strip fragment, strip utm_*/ref tracking params,
     // lowercase scheme+host only — paths stay case-sensitive), extract the

@@ -197,6 +197,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
   }
 
+  test("q_dsir_weight: the hashed-bucket model is broadcast, never shuffled onto tokens") {
+    val p = plan("q_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("partial_count"), p.take(4000)) // map-side combine on buckets
+  }
+
   test("q_snapshot_diff: hash-compare full-outer join, never a nested-loop") {
     val p = plan("q_snapshot_diff")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(4000))
