@@ -346,16 +346,17 @@ object DedupOps {
     // is only reused if the identity matches what it was computed from.
     val ident: Option[String] =
       try {
-        val parts =
-          if (docsFs.getFileStatus(docsPath).isDirectory)
-            docsFs.listStatus(docsPath).filter(_.isFile)
-              .sortBy(_.getPath.getName)
-              .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-          else {
-            val f = docsFs.getFileStatus(docsPath)
-            Array(s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-          }
-        Some(s"$dir\n${parts.mkString("\n")}")
+        // RECURSIVE listing: a partitioned documents.parquet keeps its data
+        // in subdirectories — a top-level-only listing would see nothing
+        // and the fingerprint would degenerate to a constant
+        val it = docsFs.listFiles(docsPath, true)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile)
+            parts += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
+        }
+        Some(s"$dir\n${parts.sorted.mkString("\n")}")
       } catch { case _: java.io.FileNotFoundException => None }
     val staleOrMissing =
       if (!fs.exists(marker)) true

@@ -32,7 +32,12 @@ private[operators] object DeltaBatches {
     new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def contentId(batch: DataFrame, what: String): Long = {
-    val r = batch.agg(expr("bit_xor(xxhash64(vec_id))").as("h"), count(lit(1)).as("n")).collect()(0)
+    // hash BOTH the id and the vector payload: a batch re-carrying the same
+    // ids with refreshed embeddings must get a NEW id (and then be rejected
+    // by requireDisjoint as an unsupported upsert) — hashing ids alone
+    // would silently no-op it as a "committed replay" and keep stale vectors
+    val r = batch.agg(expr("bit_xor(xxhash64(vec_id, embedding))").as("h"),
+      count(lit(1)).as("n")).collect()(0)
     require(r.getLong(1) > 0, s"$what: empty batch")
     r.getLong(0) ^ r.getLong(1)
   }
@@ -62,8 +67,15 @@ private[operators] object DeltaBatches {
     * ever committed. Always filter by `committed` — an uncommitted (crashed)
     * batch directory must stay invisible.
     */
-  def committedDeltaRows(spark: SparkSession, indexDir: String, cols: Seq[String]): Option[DataFrame] = {
-    val batches = committed(spark, indexDir)
+  def committedDeltaRows(spark: SparkSession, indexDir: String, cols: Seq[String]): Option[DataFrame] =
+    committedDeltaRows(spark, indexDir, cols, committed(spark, indexDir))
+
+  /** Overload taking a pre-read committed set — callers that already read
+    * the manifest (append does, for the replay check) avoid a second
+    * read+collect of it.
+    */
+  def committedDeltaRows(spark: SparkSession, indexDir: String, cols: Seq[String],
+      batches: Seq[Long]): Option[DataFrame] = {
     if (batches.isEmpty) None
     else Some(spark.read.parquet(deltaDir(indexDir))
       .where(col("batch").isin(batches: _*))

@@ -85,13 +85,14 @@ object IvfPq {
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
     requireCommitted(spark, indexDir)
     val bid = DeltaBatches.contentId(newVectors, "IvfPq.append")
+    val done = DeltaBatches.committed(spark, indexDir)
     // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
     // successful commit) is a no-op — that, plus overwrite-on-retry below,
     // is what gives the streaming sink its exactly-once effect
-    if (DeltaBatches.committed(spark, indexDir).contains(bid)) return bid
+    if (done.contains(bid)) return bid
     // a vec_id may live in the index once: check base + committed deltas
     val existing = spark.read.parquet(codesDir(indexDir)).select("vec_id")
-    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"))
+    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"), done)
       .map(existing.unionByName(_)).getOrElse(existing)
     DeltaBatches.requireDisjoint(existingAll, newVectors, "IvfPq.append")
     val assigned = AnnIndex.assignTo(newVectors,

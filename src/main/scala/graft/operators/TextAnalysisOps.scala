@@ -53,20 +53,25 @@ object TextAnalysisOps {
   private[graft] def withCanonUrl(df: org.apache.spark.sql.DataFrame, urlCol: String): org.apache.spark.sql.DataFrame = {
     // scheme-flexible: http://, https://, any RFC-3986 scheme — a blocklist
     // gate that only recognized literal 'https://' would silently pass
-    // blocklisted domains arriving over http
+    // blocklisted domains arriving over http. Both extracts stay ANCHORED
+    // at the string start so a '://' embedded in the query (a redirect
+    // target) can never supply the domain.
     val hostPat = "'^[A-Za-z][A-Za-z0-9+.-]*://[^/]+'"
-    // Tracking-param strip is anchored on the PRECEDING separator
-    // ('[?&](utm_…|ref)='), so parameter names merely ENDING in 'ref'
-    // (href=, xref=) never match; the consumed separator is repaired by the
-    // '^([^?&]*)&' → '$1?' pass (only fires when the '?' itself was eaten).
+    // Tracking-param strip in two ORDERED passes, each anchored on its own
+    // separator so names merely ending in 'ref' (href=, xref=) and literal
+    // '&' in the path ('/p&q' is legal RFC-3986) are never touched:
+    //   pass 1 removes every '&'-anchored tracking param (global) — after
+    //   it, at most one tracking param remains and it is '?'-anchored;
+    //   pass 2 removes that first param, promoting the next one to '?'
+    //   (or leaving a bare '?' that the trailing cleanup strips).
     df.withColumn("_url_trimmed", expr(
         s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($urlCol," +
-          s" '#.*$$', ''), '[?&](utm_[a-z]+|ref)=[^&]*', ''), '^([^?&]*)&', '$$1?'), '[?&]+$$', '')"))
+          s" '#.*$$', ''), '&(utm_[a-z]+|ref)=[^&]*', ''), '[?](utm_[a-z]+|ref)=[^&]*(&|$$)', '?'), '[?&]+$$', '')"))
       .withColumn("canon_url", expr(
         s"concat(lower(regexp_extract(_url_trimmed, $hostPat, 0))," +
           s" substr(_url_trimmed, length(regexp_extract(_url_trimmed, $hostPat, 0)) + 1))"))
       .withColumn("domain", expr(
-        "regexp_replace(regexp_extract(canon_url, '://([^/]+)', 1), '^www[.]', '')"))
+        "regexp_replace(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1), '^www[.]', '')"))
       .drop("_url_trimmed")
   }
 
@@ -520,7 +525,7 @@ object TextAnalysisOps {
         |trimmed AS (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
-        |      '#.*$', ''), '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'), '^([^?&]*)&', '\1?'), '[?&]+$', '') AS t
+        |      '#.*$', ''), '&(utm_[a-z]+|ref)=[^&]*', '', 'g'), '[?](utm_[a-z]+|ref)=[^&]*(&|$)', '?'), '[?&]+$', '') AS t
         |  FROM raw),
         |canon AS (
         |  SELECT doc_id,
@@ -528,7 +533,7 @@ object TextAnalysisOps {
         |  FROM trimmed),
         |dom AS (
         |  SELECT doc_id, canon_url,
-        |    regexp_replace(regexp_extract(canon_url, '://([^/]+)', 1), '^www[.]', '') AS domain
+        |    regexp_replace(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1), '^www[.]', '') AS domain
         |  FROM canon),
         |ranked AS (
         |  SELECT doc_id, canon_url, domain,

@@ -81,14 +81,25 @@ object Compact {
     val compacted =
       if (partitionBy.isEmpty) df.repartition(nOut)
       else {
-        // (partition cols, row-hash salt) shuffle: a partition value larger
-        // than targetFileBytes spreads across up to nOut tasks, each
-        // writing its own file into that partition's directory — without
-        // the salt every partition value collapses to ONE writer task and
-        // the target file size is ignored
-        val salted = df.withColumn("_salt",
-          pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(nOut.toLong)))
-        salted.repartition(nOut, (partitionBy.map(col) :+ col("_salt")): _*).drop("_salt")
+        // (partition cols, row-hash salt) shuffle with a PER-PARTITION salt
+        // modulus: each partition value gets ceil(itsBytes / target) salt
+        // buckets, so an oversized partition splits across that many writer
+        // tasks while a small one keeps ONE file. (A global modulus would
+        // shatter every small partition into up to nOut shards — compaction
+        // output with MORE files than its input.) Row counts come from
+        // parquet metadata; the budget table is one row per partition value
+        // (broadcast — bounded by partition count, as any planner is).
+        val totalRows = df.count()
+        val avgRowBytes = if (totalRows == 0) 1.0 else totalBytes.toDouble / totalRows
+        val budgets = df.groupBy(partitionBy.map(col): _*).count()
+          .withColumn("_saltN",
+            greatest(lit(1L), ceil(col("count") * avgRowBytes / targetFileBytes).cast("long")))
+          .drop("count")
+        df.join(broadcast(budgets), partitionBy)
+          .withColumn("_salt",
+            pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), col("_saltN")))
+          .repartition(nOut, (partitionBy.map(col) :+ col("_salt")): _*)
+          .drop("_salt", "_saltN")
       }
 
     val w = compacted.write.mode(SaveMode.Overwrite)

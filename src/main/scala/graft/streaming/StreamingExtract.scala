@@ -97,9 +97,11 @@ object StreamingExtract {
     // docs inside the horizon still dedup (exact semantics — the only
     // near-dup notion that exists below shingle length), novel ones pass.
     val short = docs
-      .where(expr("size(filter(split(text, ' '), t -> t <> '')) < 3"))
+      // coalesce: size(...) is NULL for null text, and a NULL predicate
+      // would drop the row from BOTH branches — null/empty docs belong here
+      .where(expr("coalesce(size(filter(split(text, ' '), t -> t <> '')), 0) < 3"))
       .withColumn("band", lit(-1))
-      .withColumn("bh", md5(concat(lit("short|"), col("text"))))
+      .withColumn("bh", md5(concat(lit("short|"), coalesce(col("text"), lit("")))))
       .select(banded.columns.map(col).toIndexedSeq: _*)
     banded.unionByName(short)
       .withWatermark("ts", watermark)

@@ -25,7 +25,16 @@ class UrlCanonSpec extends SparkTestBase {
     ("https://a.com/p?utm_only=1", "https://a.com/p", "a.com"), // all params stripped
     ("https://a.com/p?ref=x", "https://a.com/p", "a.com"),
     ("https://www.b.net/q#fragment-only", "https://www.b.net/q", "b.net"),
-    ("ftp://files.example.net/pub/x", "ftp://files.example.net/pub/x", "files.example.net"))
+    ("ftp://files.example.net/pub/x", "ftp://files.example.net/pub/x", "files.example.net"),
+    // literal '&' in the PATH (legal RFC-3986 sub-delim): must not be
+    // rewritten to '?' even though nothing was stripped
+    ("https://a.com/p&q", "https://a.com/p&q", "a.com"),
+    ("https://a.com/a&b?id=1", "https://a.com/a&b?id=1", "a.com"),
+    // '?'-anchored tracking param followed by a real one: promotion to '?'
+    ("https://a.com/p?ref=x&id=2", "https://a.com/p?id=2", "a.com"),
+    // a '://' embedded in the QUERY must never supply the domain
+    ("https://good.example.org/r?u=https://evil.example/x",
+      "https://good.example.org/r?u=https://evil.example/x", "good.example.org"))
 
   private def canon(urls: Seq[String]): Seq[(String, String, String)] =
     TextAnalysisOps.withCanonUrl(urls.toDF("url"), "url")

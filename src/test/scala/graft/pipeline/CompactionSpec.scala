@@ -71,6 +71,25 @@ class CompactionSpec extends SparkTestBase {
     assert(after == rows)
   }
 
+  test("partitioned compaction never SHATTERS small partitions (per-partition salt budget)") {
+    val dir = Files.createTempDirectory("graft-compact-many").toString + "/t"
+    // 16 modest partitions; total >> target, so a GLOBAL salt modulus would
+    // spread every partition over ~total/target tasks and multiply files
+    spark.range(16000)
+      .selectExpr("id AS doc_id", "id % 16 AS grp",
+        "repeat(md5(cast(id as string)), 4) AS text")
+      .repartition(8).write.partitionBy("grp").parquet(dir)
+    val r = Compact.compact(spark, dir, targetFileBytes = 64L * 1024, partitionBy = Seq("grp"))
+    // each ~130KB partition deserves ~2-3 files; shattering would give 16x20+
+    val perPart = (0 until 16).map { g =>
+      new java.io.File(s"$dir/grp=$g").listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(perPart.forall(n => n >= 1 && n <= 4),
+      s"small partitions shattered: files per partition = $perPart")
+    assert(r.filesAfter <= 64, s"file count multiplied: ${r.filesBefore} -> ${r.filesAfter}")
+    assert(spark.read.parquet(dir).count() == 16000)
+  }
+
   test("partitioned compaction splits an oversized partition across multiple files") {
     val dir = Files.createTempDirectory("graft-compact-big").toString + "/t"
     // one dominant partition; tiny target forces it to split
