@@ -53,6 +53,18 @@ class CompactionSpec extends SparkTestBase {
     assert(scanned.contains("PartitionFilters: [isnotnull(grp"), scanned.take(2000))
   }
 
+  test("compaction is a fixpoint: compacting a compacted table changes nothing material") {
+    val dir = Files.createTempDirectory("graft-compact-fix").toString + "/t"
+    spark.range(2000).selectExpr("id AS doc_id", "repeat(md5(cast(id as string)), 2) AS text")
+      .repartition(32).write.parquet(dir)
+    val r1 = Compact.compact(spark, dir, targetFileBytes = 8L * 1024 * 1024)
+    val rows = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq
+    val r2 = Compact.compact(spark, dir, targetFileBytes = 8L * 1024 * 1024)
+    assert(r2.filesBefore == r1.filesAfter)
+    assert(r2.filesAfter <= r2.filesBefore, s"re-compaction grew files: $r2")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1).toSeq == rows)
+  }
+
   test("a crashed swap (table renamed aside, new table not installed) self-repairs") {
     val dir = Files.createTempDirectory("graft-compact-crash").toString + "/t"
     spark.range(100).selectExpr("id AS doc_id", "repeat('z', 20) AS text")
