@@ -208,15 +208,15 @@ object AnnIndex {
     require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
       s"AnnIndex.append: no commit marker at ${commitMarker(indexDir)} — append requires a " +
         "complete base index (new vectors must be assigned under its persisted centroids)")
-    // a vec_id may live in the index once: check base cells + committed deltas
     val bid = DeltaBatches.contentId(newVectors, "AnnIndex.append")
+    val done = DeltaBatches.committed(spark, indexDir) // read ONCE, reused below
     // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
     // successful commit) is a no-op — that, plus overwrite-on-retry below,
     // is what gives the streaming sink its exactly-once effect
-    if (DeltaBatches.committed(spark, indexDir).contains(bid)) return bid
-    // a vec_id may live in the index once: check base + committed deltas
+    if (done.contains(bid)) return bid
+    // a vec_id may live in the index once: check base cells + committed deltas
     val existing = spark.read.parquet(cellsDir(indexDir)).select("vec_id")
-    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"))
+    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"), done)
       .map(existing.unionByName(_)).getOrElse(existing)
     DeltaBatches.requireDisjoint(existingAll, newVectors, "AnnIndex.append")
     val cent = spark.read.parquet(centroidsDir(indexDir))

@@ -35,11 +35,17 @@ private[operators] object DeltaBatches {
     // hash BOTH the id and the vector payload: a batch re-carrying the same
     // ids with refreshed embeddings must get a NEW id (and then be rejected
     // by requireDisjoint as an unsupported upsert) — hashing ids alone
-    // would silently no-op it as a "committed replay" and keep stale vectors
-    val r = batch.agg(expr("bit_xor(xxhash64(vec_id, embedding))").as("h"),
+    // would silently no-op it as a "committed replay" and keep stale
+    // vectors. TWO independent folds combine into the id: XOR alone cancels
+    // duplicate rows (two different all-duplicate batches would collide and
+    // the second be skipped as a replay); the wide-decimal SUM fold does
+    // not cancel, so the combination is robust to that class.
+    val r = batch.agg(
+      expr("bit_xor(xxhash64(vec_id, embedding))").as("h1"),
+      expr("cast(sum(cast(xxhash64(embedding, vec_id) as decimal(38, 0))) % 9223372036854775783 as bigint)").as("h2"),
       count(lit(1)).as("n")).collect()(0)
-    require(r.getLong(1) > 0, s"$what: empty batch")
-    r.getLong(0) ^ r.getLong(1)
+    require(r.getLong(2) > 0, s"$what: empty batch")
+    r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 17) ^ r.getLong(2)
   }
 
   def commit(spark: SparkSession, indexDir: String, bid: Long): Unit =
@@ -83,6 +89,13 @@ private[operators] object DeltaBatches {
   }
 
   def requireDisjoint(existingIds: DataFrame, batch: DataFrame, what: String): Unit = {
+    // the batch must also be duplicate-free WITHIN itself — both copies of
+    // an internally repeated id would land and appear twice in top-k
+    val internal = batch.groupBy(col("vec_id")).count()
+      .where(col("count") > 1).limit(5).collect().map(_.getLong(0))
+    require(internal.isEmpty,
+      s"$what: batch carries duplicate vec_ids within itself (${internal.mkString(", ")}…) — " +
+        "dedup the batch before appending; a duplicated id would appear twice in top-k")
     val dup = existingIds.select(col("vec_id"))
       .join(broadcast(batch.select(col("vec_id"))), "vec_id")
       .limit(5).collect().map(_.getLong(0))

@@ -70,8 +70,13 @@ object TextAnalysisOps {
       .withColumn("canon_url", expr(
         s"concat(lower(regexp_extract(_url_trimmed, $hostPat, 0))," +
           s" substr(_url_trimmed, length(regexp_extract(_url_trimmed, $hostPat, 0)) + 1))"))
+      // authority → registrable domain: strip userinfo ('user@'), port
+      // (':8443') and the www. prefix — an exact-match blocklist on the raw
+      // authority is trivially bypassed with 'x@host' or 'host:443'
       .withColumn("domain", expr(
-        "regexp_replace(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1), '^www[.]', '')"))
+        "regexp_replace(regexp_replace(regexp_replace(" +
+          "regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)," +
+          " '^[^@]*@', ''), ':[0-9]+$', ''), '^www[.]', '')"))
       .drop("_url_trimmed")
   }
 
@@ -533,7 +538,9 @@ object TextAnalysisOps {
         |  FROM trimmed),
         |dom AS (
         |  SELECT doc_id, canon_url,
-        |    regexp_replace(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1), '^www[.]', '') AS domain
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1),
+        |      '^[^@]*@', ''), ':[0-9]+$', ''), '^www[.]', '') AS domain
         |  FROM canon),
         |ranked AS (
         |  SELECT doc_id, canon_url, domain,

@@ -95,11 +95,16 @@ object Compact {
           .withColumn("_saltN",
             greatest(lit(1L), ceil(col("count") * avgRowBytes / targetFileBytes).cast("long")))
           .drop("count")
-        df.join(broadcast(budgets), partitionBy)
+          .withColumnsRenamed(partitionBy.map(c => c -> s"_b_$c").toMap)
+        // NULL-SAFE join on the partition values: Hive's default partition
+        // (a null value) must keep its rows — an equi-join would silently
+        // drop them and the swap would delete the only copy
+        val cond = partitionBy.map(c => df(c) <=> budgets(s"_b_$c")).reduce(_ && _)
+        df.join(broadcast(budgets), cond)
           .withColumn("_salt",
             pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), col("_saltN")))
           .repartition(nOut, (partitionBy.map(col) :+ col("_salt")): _*)
-          .drop("_salt", "_saltN")
+          .drop(("_salt" +: "_saltN" +: partitionBy.map(c => s"_b_$c")): _*)
       }
 
     val w = compacted.write.mode(SaveMode.Overwrite)

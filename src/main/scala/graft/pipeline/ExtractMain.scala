@@ -57,6 +57,14 @@ object ExtractMain {
         s"outDir $outDir was written with the '$pinned' backend; resuming with " +
           s"'$backend' would misread its lineage — pass '$pinned' (or a fresh outDir)")
     } else {
+      // legacy outDirs (created before the marker existed) carry lineage
+      // but no pin — they are parquet by construction, so resuming one with
+      // 'jsonl' must fail instead of silently pinning the wrong backend
+      // over a parquet lineage dir
+      val legacy = fs.exists(new org.apache.hadoop.fs.Path(Checkpoint.lineageDir(outDir)))
+      require(!legacy || backend == "parquet",
+        s"outDir $outDir holds a pre-existing (unpinned) parquet checkpoint; " +
+          s"resuming it with '$backend' would mix formats in its lineage dir — pass 'parquet'")
       val out = fs.create(writerMarker, true)
       try out.write(backend.getBytes("UTF-8")) finally out.close()
     }

@@ -128,6 +128,14 @@ object StreamingExtract {
     * after a sink failure overwrites its own delta directory and re-commits
     * the same id: the effect is exactly-once even though foreachBatch is
     * at-least-once. Empty micro-batches are skipped (append rejects them).
+    *
+    * Cost note: every append runs the duplicate-id guard against the
+    * index's narrow vec_id column, so per-batch latency grows with index
+    * size. For a high-rate always-on stream, the production mitigations
+    * are a compact id digest (bloom filter) maintained with the manifest,
+    * or guaranteed-fresh upstream ids + periodic batch reconciliation;
+    * this sink keeps the strict guard because a silent duplicate corrupts
+    * every subsequent top-k.
     */
   def indexSink(vectors: DataFrame, indexDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

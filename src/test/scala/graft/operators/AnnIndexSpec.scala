@@ -255,6 +255,15 @@ class AnnIndexSpec extends SparkTestBase {
     }
     assert(dupErr.getMessage.contains("already in the index"), dupErr.getMessage)
 
+    // a batch duplicated WITHIN itself must also be rejected: both copies
+    // would land in the delta and appear twice in top-k
+    val fresh = emb.select(($"vec_id" + 5000000L).as("vec_id"), $"embedding").limit(2)
+    val selfDup = fresh.unionAll(fresh)
+    val internalErr = intercept[IllegalArgumentException] {
+      AnnIndex.append(spark, dir, selfDup)
+    }
+    assert(internalErr.getMessage.contains("within itself"), internalErr.getMessage)
+
     // a crashed append (data present, manifest row missing) is invisible
     val fakeBid = 123456789L
     batch.limit(5)

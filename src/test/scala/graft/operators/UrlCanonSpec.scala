@@ -34,7 +34,10 @@ class UrlCanonSpec extends SparkTestBase {
     ("https://a.com/p?ref=x&id=2", "https://a.com/p?id=2", "a.com"),
     // a '://' embedded in the QUERY must never supply the domain
     ("https://good.example.org/r?u=https://evil.example/x",
-      "https://good.example.org/r?u=https://evil.example/x", "good.example.org"))
+      "https://good.example.org/r?u=https://evil.example/x", "good.example.org"),
+    // userinfo and port must not defeat an exact-match domain blocklist
+    ("https://site13.example.com:443/x", "https://site13.example.com:443/x", "site13.example.com"),
+    ("https://user@site13.example.com/x", "https://user@site13.example.com/x", "site13.example.com"))
 
   private def canon(urls: Seq[String]): Seq[(String, String, String)] =
     TextAnalysisOps.withCanonUrl(urls.toDF("url"), "url")

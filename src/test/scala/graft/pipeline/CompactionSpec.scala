@@ -83,6 +83,20 @@ class CompactionSpec extends SparkTestBase {
     assert(after == rows)
   }
 
+  test("partitioned compaction keeps rows whose partition value is NULL") {
+    val dir = Files.createTempDirectory("graft-compact-null").toString + "/t"
+    spark.range(300)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 3 END AS grp",
+        "repeat(md5(cast(id as string)), 2) AS text")
+      .repartition(4).write.partitionBy("grp").parquet(dir)
+    assert(spark.read.parquet(dir).where($"grp".isNull).count() == 100)
+    Compact.compact(spark, dir, targetFileBytes = 8L * 1024 * 1024, partitionBy = Seq("grp"))
+    // a null-dropping equi-join here would have deleted the only copy
+    assert(spark.read.parquet(dir).count() == 300)
+    assert(spark.read.parquet(dir).where($"grp".isNull).count() == 100)
+  }
+
   test("partitioned compaction never SHATTERS small partitions (per-partition salt budget)") {
     val dir = Files.createTempDirectory("graft-compact-many").toString + "/t"
     // 16 modest partitions; total >> target, so a GLOBAL salt modulus would
