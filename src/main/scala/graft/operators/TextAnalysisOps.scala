@@ -469,6 +469,31 @@ object TextAnalysisOps {
         .orderBy("doc_id")
     },
 
+    // BPE merge-pair statistics (Sennrich et al. 2016): corpus-wide
+    // adjacent symbol-pair frequencies — the quantity one iteration of BPE
+    // tokenizer training maximizes (the top pair IS the next merge). The
+    // full training loop is K sequential rounds of exactly this aggregation
+    // with the chosen merge applied; this operator is the distributed
+    // building block: explode words → explode adjacent pairs → one
+    // partial-agg'd count shuffle → TakeOrderedAndProject top-k. At 100 TB
+    // the pair table is bounded by |alphabet|², never by corpus size.
+    Op("q_bpe_pairs",
+      s"""WITH toks AS (SELECT unnest($toksDuck) AS tok FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+         |    i -> substring(tok, i, 2))) AS pair
+         |  FROM toks WHERE length(tok) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS freq
+         |FROM pairs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(expr(toksSpark)).as("tok"))
+        .where(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("pair")).limit(20)
+    },
+
     // DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): score each document by
     // how target-like its HASHED token features are. Hashing the features
