@@ -197,6 +197,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
   }
 
+  test("q_bpe_pairs: partial-agg'd pair counts, top-k fused (no global sort)") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("partial_count"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+  }
+
   test("q_dsir_weight: the hashed-bucket model is broadcast, never shuffled onto tokens") {
     val p = plan("q_dsir_weight")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
