@@ -197,8 +197,9 @@ object AnnIndex {
     * appending the batch id to the `_batches` manifest AFTER the data is
     * durable.
     *
-    * `bid` derives deterministically from the batch's content (XOR-fold of
-    * xxhash64(vec_id) ⊕ count — order-independent, overflow-free), so a crashed-and-retried append
+    * `bid` derives deterministically from the batch's content — id AND
+    * embedding payload, via the two-fold hash in [[DeltaBatches.contentStats]]
+    * — so a crashed-and-retried append
     * OVERWRITES its own batch directory instead of duplicating rows, and a
     * batch dir with no manifest row is invisible to `search`. Rebuilding
     * the base index (`build`) invalidates deltas by centroid change, so it
@@ -208,7 +209,9 @@ object AnnIndex {
     require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
       s"AnnIndex.append: no commit marker at ${commitMarker(indexDir)} — append requires a " +
         "complete base index (new vectors must be assigned under its persisted centroids)")
-    val bid = DeltaBatches.contentId(newVectors, "AnnIndex.append")
+    val stats = DeltaBatches.contentStats(newVectors, "AnnIndex.append")
+    if (stats.nDistinct < stats.n) DeltaBatches.failInternalDuplicates(newVectors, "AnnIndex.append")
+    val bid = stats.bid
     val done = DeltaBatches.committed(spark, indexDir) // read ONCE, reused below
     // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
     // successful commit) is a no-op — that, plus overwrite-on-retry below,

@@ -7,13 +7,23 @@ import org.apache.spark.sql.functions._
   * [[IvfPq]] — one implementation so the two indexes can never diverge on
   * durability semantics:
   *
-  *   - `contentId` derives the batch id from the batch CONTENT (XOR-fold of
-  *     xxhash64(vec_id) ⊕ count — order-independent, overflow-free), so a
-  *     crashed-and-retried append overwrites its own `delta/batch=<bid>`
-  *     directory instead of duplicating rows;
+  *   - `contentStats` derives the batch id from the batch CONTENT — two
+  *     independent order-free folds over `xxhash64(vec_id, embedding)` (an
+  *     XOR fold plus a wide-decimal modular SUM fold; XOR alone cancels
+  *     duplicate rows, the sum fold does not, so two different batches
+  *     cannot collide through duplicate-pair cancellation) combined with
+  *     the row count. A crashed-and-retried append therefore overwrites
+  *     its own `delta/batch=<bid>` directory instead of duplicating rows,
+  *     and a batch re-carrying the same ids with refreshed embeddings gets
+  *     a NEW id (then rejected as an unsupported upsert). The same
+  *     aggregation also returns the distinct-id count, so the
+  *     batch-internal duplicate guard costs no extra job;
   *   - `commit` appends the id to the `_batches` manifest strictly AFTER
   *     the batch data is durable — the manifest row IS the commit marker,
-  *     and `committed` is the only set a search may read;
+  *     and `committed` is the only set a search may read. The manifest
+  *     carries a `_format` version file: the id formula is part of the
+  *     on-disk contract, so a manifest written under a different formula
+  *     fails fast instead of mis-classifying replays;
   *   - `requireDisjoint` enforces the append precondition: a vec_id may
   *     live in the index exactly once. Upsert is NOT supported — a batch
   *     re-carrying an existing id would make top-k return the id twice
@@ -25,42 +35,84 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object DeltaBatches {
 
+  /** Bump when the `contentStats` id formula changes — mismatched manifests
+    * must fail fast, not silently mis-classify replays.
+    */
+  private val FormatVersion = "2"
+
   def deltaDir(indexDir: String): String    = s"$indexDir/delta"
   def manifestDir(indexDir: String): String = s"$indexDir/_batches"
+  private def formatMarker(indexDir: String) = s"${manifestDir(indexDir)}/_format"
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def contentId(batch: DataFrame, what: String): Long = {
-    // hash BOTH the id and the vector payload: a batch re-carrying the same
-    // ids with refreshed embeddings must get a NEW id (and then be rejected
-    // by requireDisjoint as an unsupported upsert) — hashing ids alone
-    // would silently no-op it as a "committed replay" and keep stale
-    // vectors. TWO independent folds combine into the id: XOR alone cancels
-    // duplicate rows (two different all-duplicate batches would collide and
-    // the second be skipped as a replay); the wide-decimal SUM fold does
-    // not cancel, so the combination is robust to that class.
+  final case class ContentStats(bid: Long, n: Long, nDistinct: Long)
+
+  def contentStats(batch: DataFrame, what: String): ContentStats = {
     val r = batch.agg(
       expr("bit_xor(xxhash64(vec_id, embedding))").as("h1"),
       expr("cast(sum(cast(xxhash64(embedding, vec_id) as decimal(38, 0))) % 9223372036854775783 as bigint)").as("h2"),
-      count(lit(1)).as("n")).collect()(0)
+      count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("nd")).collect()(0)
     require(r.getLong(2) > 0, s"$what: empty batch")
-    r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 17) ^ r.getLong(2)
+    ContentStats(
+      r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 17) ^ r.getLong(2),
+      r.getLong(2), r.getLong(3))
   }
 
-  def commit(spark: SparkSession, indexDir: String, bid: Long): Unit =
+  /** Fails naming up to five offending ids — only called once `contentStats`
+    * has already detected `nDistinct < n`, so the extra job runs only on
+    * the error path.
+    */
+  def failInternalDuplicates(batch: DataFrame, what: String): Nothing = {
+    val ids = batch.groupBy(col("vec_id")).count()
+      .where(col("count") > 1).limit(5).collect().map(_.getLong(0))
+    throw new IllegalArgumentException(
+      s"$what: batch carries duplicate vec_ids within itself (${ids.mkString(", ")}…) — " +
+        "dedup the batch before appending; a duplicated id would appear twice in top-k")
+  }
+
+  private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.LongType, false)))
+
+  def commit(spark: SparkSession, indexDir: String, bid: Long): Unit = {
+    val fs = fsOf(spark, indexDir)
+    // version marker FIRST: a manifest row must never exist without its
+    // format recorded (a marker-only dir reads back as zero batches)
+    val marker = new org.apache.hadoop.fs.Path(formatMarker(indexDir))
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, true)
+      try out.write(FormatVersion.getBytes("UTF-8")) finally out.close()
+    }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(bid)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("batch",
-          org.apache.spark.sql.types.LongType, false))))
+      spark.sparkContext.parallelize(Seq(Row(bid)), 1), manifestSchema)
       .write.mode("append").parquet(manifestDir(indexDir))
+  }
 
   def committed(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val fs = fsOf(spark, indexDir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(indexDir))
-    if (!fsOf(spark, indexDir).exists(p)) Seq.empty
-    else spark.read.parquet(manifestDir(indexDir))
-      .select("batch").distinct().collect().map(_.getLong(0)).toSeq
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val marker = new org.apache.hadoop.fs.Path(formatMarker(indexDir))
+      val ver =
+        if (!fs.exists(marker)) "1" // pre-versioning manifest
+        else {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+      require(ver == FormatVersion,
+        s"delta manifest at ${manifestDir(indexDir)} was written with content-id format " +
+          s"'$ver' but this build uses '$FormatVersion' — batch ids are not comparable " +
+          "across formats (a replay could be mis-classified); rebuild the index")
+      // explicit schema: a marker-only manifest (crash before the first
+      // batch row landed) must read as empty, not fail schema inference
+      spark.read.schema(manifestSchema).parquet(manifestDir(indexDir))
+        .select("batch").distinct().collect().map(_.getLong(0)).toSeq
+    }
   }
 
   def clear(spark: SparkSession, indexDir: String): Unit = {
@@ -89,13 +141,6 @@ private[operators] object DeltaBatches {
   }
 
   def requireDisjoint(existingIds: DataFrame, batch: DataFrame, what: String): Unit = {
-    // the batch must also be duplicate-free WITHIN itself — both copies of
-    // an internally repeated id would land and appear twice in top-k
-    val internal = batch.groupBy(col("vec_id")).count()
-      .where(col("count") > 1).limit(5).collect().map(_.getLong(0))
-    require(internal.isEmpty,
-      s"$what: batch carries duplicate vec_ids within itself (${internal.mkString(", ")}…) — " +
-        "dedup the batch before appending; a duplicated id would appear twice in top-k")
     val dup = existingIds.select(col("vec_id"))
       .join(broadcast(batch.select(col("vec_id"))), "vec_id")
       .limit(5).collect().map(_.getLong(0))

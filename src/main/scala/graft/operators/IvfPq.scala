@@ -84,7 +84,9 @@ object IvfPq {
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
     requireCommitted(spark, indexDir)
-    val bid = DeltaBatches.contentId(newVectors, "IvfPq.append")
+    val stats = DeltaBatches.contentStats(newVectors, "IvfPq.append")
+    if (stats.nDistinct < stats.n) DeltaBatches.failInternalDuplicates(newVectors, "IvfPq.append")
+    val bid = stats.bid
     val done = DeltaBatches.committed(spark, indexDir)
     // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
     // successful commit) is a no-op — that, plus overwrite-on-retry below,

@@ -70,13 +70,15 @@ object TextAnalysisOps {
       .withColumn("canon_url", expr(
         s"concat(lower(regexp_extract(_url_trimmed, $hostPat, 0))," +
           s" substr(_url_trimmed, length(regexp_extract(_url_trimmed, $hostPat, 0)) + 1))"))
-      // authority → registrable domain: strip userinfo ('user@'), port
-      // (':8443') and the www. prefix — an exact-match blocklist on the raw
-      // authority is trivially bypassed with 'x@host' or 'host:443'
+      // authority → registrable domain: strip userinfo (GREEDY to the
+      // LAST '@' — browsers resolve the host after the last '@', so
+      // 'a@b@host' must yield 'host'), the port incl. the empty-port form
+      // 'host:' (':[0-9]*$'), and the www. prefix — an exact-match
+      // blocklist on the raw authority is trivially bypassed otherwise
       .withColumn("domain", expr(
         "regexp_replace(regexp_replace(regexp_replace(" +
           "regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)," +
-          " '^[^@]*@', ''), ':[0-9]+$', ''), '^www[.]', '')"))
+          " '^.*@', ''), ':[0-9]*$', ''), '^www[.]', '')"))
       .drop("_url_trimmed")
   }
 
@@ -565,7 +567,7 @@ object TextAnalysisOps {
         |  SELECT doc_id, canon_url,
         |    regexp_replace(regexp_replace(regexp_replace(
         |      regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1),
-        |      '^[^@]*@', ''), ':[0-9]+$', ''), '^www[.]', '') AS domain
+        |      '^.*@', ''), ':[0-9]*$', ''), '^www[.]', '') AS domain
         |  FROM canon),
         |ranked AS (
         |  SELECT doc_id, canon_url, domain,

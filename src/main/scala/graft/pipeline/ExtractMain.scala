@@ -49,24 +49,36 @@ object ExtractMain {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val writerMarker = new org.apache.hadoop.fs.Path(s"$outDir/_writer")
-    if (fs.exists(writerMarker)) {
-      val in = fs.open(writerMarker)
-      val pinned = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      require(pinned == backend,
-        s"outDir $outDir was written with the '$pinned' backend; resuming with " +
-          s"'$backend' would misread its lineage — pass '$pinned' (or a fresh outDir)")
-    } else {
-      // legacy outDirs (created before the marker existed) carry lineage
-      // but no pin — they are parquet by construction, so resuming one with
-      // 'jsonl' must fail instead of silently pinning the wrong backend
-      // over a parquet lineage dir
-      val legacy = fs.exists(new org.apache.hadoop.fs.Path(Checkpoint.lineageDir(outDir)))
-      require(!legacy || backend == "parquet",
-        s"outDir $outDir holds a pre-existing (unpinned) parquet checkpoint; " +
-          s"resuming it with '$backend' would mix formats in its lineage dir — pass 'parquet'")
-      val out = fs.create(writerMarker, true)
-      try out.write(backend.getBytes("UTF-8")) finally out.close()
+    val pinnedOpt =
+      if (!fs.exists(writerMarker)) None
+      else {
+        val in = fs.open(writerMarker)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        // an empty/garbage marker (kill between create and write) is
+        // treated as absent — the legacy check below re-derives the pin
+        // instead of leaving the outDir permanently unresumable
+        Some(raw).filter(v => v == "parquet" || v == "jsonl")
+      }
+    pinnedOpt match {
+      case Some(pinned) =>
+        require(pinned == backend,
+          s"outDir $outDir was written with the '$pinned' backend; resuming with " +
+            s"'$backend' would misread its lineage — pass '$pinned' (or a fresh outDir)")
+      case None =>
+        // legacy outDirs (created before the marker existed) carry lineage
+        // OR span data but no pin — they are parquet by construction, so
+        // resuming one with 'jsonl' must fail instead of silently pinning
+        // the wrong backend over parquet files (a run killed before its
+        // first group commit has spans but no lineage yet)
+        val legacy =
+          fs.exists(new org.apache.hadoop.fs.Path(Checkpoint.lineageDir(outDir))) ||
+          fs.exists(new org.apache.hadoop.fs.Path(Checkpoint.spansDir(outDir)))
+        require(!legacy || backend == "parquet",
+          s"outDir $outDir holds a pre-existing (unpinned) parquet checkpoint; " +
+            s"resuming it with '$backend' would mix formats — pass 'parquet'")
+        val out = fs.create(writerMarker, true)
+        try out.write(backend.getBytes("UTF-8")) finally out.close()
     }
     val (writer, readLineage) = backend match {
       case "jsonl" =>
