@@ -209,6 +209,7 @@ object AnnIndex {
     require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
       s"AnnIndex.append: no commit marker at ${commitMarker(indexDir)} — append requires a " +
         "complete base index (new vectors must be assigned under its persisted centroids)")
+    DeltaBatches.requireFormatCurrent(spark, indexDir, "AnnIndex.append")
     val stats = DeltaBatches.contentStats(newVectors, "AnnIndex.append")
     if (stats.nDistinct < stats.n) DeltaBatches.failInternalDuplicates(newVectors, "AnnIndex.append")
     val bid = stats.bid

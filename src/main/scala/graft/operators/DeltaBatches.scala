@@ -54,8 +54,14 @@ private[operators] object DeltaBatches {
       expr("bit_xor(xxhash64(vec_id, embedding))").as("h1"),
       expr("cast(sum(cast(xxhash64(embedding, vec_id) as decimal(38, 0))) % 9223372036854775783 as bigint)").as("h2"),
       count(lit(1)).as("n"),
-      countDistinct(col("vec_id")).as("nd")).collect()(0)
+      countDistinct(col("vec_id")).as("nd"),
+      count(col("vec_id")).as("nonNull")).collect()(0)
     require(r.getLong(2) > 0, s"$what: empty batch")
+    // reject null ids explicitly — countDistinct ignores nulls, so without
+    // this a null id would masquerade as an internal duplicate (or NPE in
+    // the error path naming the offenders)
+    require(r.getLong(4) == r.getLong(2),
+      s"$what: batch carries ${r.getLong(2) - r.getLong(4)} null vec_id row(s) — ids must be non-null")
     ContentStats(
       r.getLong(0) ^ java.lang.Long.rotateLeft(r.getLong(1), 17) ^ r.getLong(2),
       r.getLong(2), r.getLong(3))
@@ -80,39 +86,45 @@ private[operators] object DeltaBatches {
   def commit(spark: SparkSession, indexDir: String, bid: Long): Unit = {
     val fs = fsOf(spark, indexDir)
     // version marker FIRST: a manifest row must never exist without its
-    // format recorded (a marker-only dir reads back as zero batches)
+    // format recorded. Markers go through the shared helper, so a marker
+    // left empty by a kill between create and write reads as absent and is
+    // simply rewritten here — never a bricked third state.
     val marker = new org.apache.hadoop.fs.Path(formatMarker(indexDir))
-    if (!fs.exists(marker)) {
-      val out = fs.create(marker, true)
-      try out.write(FormatVersion.getBytes("UTF-8")) finally out.close()
-    }
+    if (graft.util.Markers.read(fs, marker).isEmpty)
+      graft.util.Markers.write(fs, marker, FormatVersion)
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(bid)), 1), manifestSchema)
       .write.mode("append").parquet(manifestDir(indexDir))
+  }
+
+  /** Append-time gate: replay classification compares content ids against
+    * the manifest, which is only sound when the manifest was written under
+    * THIS id formula. Searches never classify replays, so they read the
+    * manifest without this check — a working index stays searchable across
+    * a formula upgrade; only further appends demand a rebuild.
+    */
+  def requireFormatCurrent(spark: SparkSession, indexDir: String, what: String): Unit = {
+    val fs = fsOf(spark, indexDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir(indexDir)))) {
+      val ver = graft.util.Markers.read(fs, new org.apache.hadoop.fs.Path(formatMarker(indexDir)))
+      require(ver.contains(FormatVersion),
+        s"$what: the delta manifest at ${manifestDir(indexDir)} was written under content-id " +
+          s"format ${ver.getOrElse("<unrecorded>")} but this build uses '$FormatVersion' — batch " +
+          "ids are not comparable across formats (a replay could be mis-classified); rebuild " +
+          "the index before appending (existing searches remain valid)")
+    }
   }
 
   def committed(spark: SparkSession, indexDir: String): Seq[Long] = {
     val fs = fsOf(spark, indexDir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(indexDir))
     if (!fs.exists(p)) Seq.empty
-    else {
-      val marker = new org.apache.hadoop.fs.Path(formatMarker(indexDir))
-      val ver =
-        if (!fs.exists(marker)) "1" // pre-versioning manifest
-        else {
-          val in = fs.open(marker)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        }
-      require(ver == FormatVersion,
-        s"delta manifest at ${manifestDir(indexDir)} was written with content-id format " +
-          s"'$ver' but this build uses '$FormatVersion' — batch ids are not comparable " +
-          "across formats (a replay could be mis-classified); rebuild the index")
-      // explicit schema: a marker-only manifest (crash before the first
-      // batch row landed) must read as empty, not fail schema inference
-      spark.read.schema(manifestSchema).parquet(manifestDir(indexDir))
-        .select("batch").distinct().collect().map(_.getLong(0)).toSeq
-    }
+    // explicit schema: a marker-only manifest (crash before the first
+    // batch row landed) must read as empty, not fail schema inference.
+    // No version gate here — see requireFormatCurrent: only appends
+    // compare content ids, searches just need the committed set.
+    else spark.read.schema(manifestSchema).parquet(manifestDir(indexDir))
+      .select("batch").distinct().collect().map(_.getLong(0)).toSeq
   }
 
   def clear(spark: SparkSession, indexDir: String): Unit = {

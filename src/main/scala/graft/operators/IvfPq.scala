@@ -84,6 +84,7 @@ object IvfPq {
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
     requireCommitted(spark, indexDir)
+    DeltaBatches.requireFormatCurrent(spark, indexDir, "IvfPq.append")
     val stats = DeltaBatches.contentStats(newVectors, "IvfPq.append")
     if (stats.nDistinct < stats.n) DeltaBatches.failInternalDuplicates(newVectors, "IvfPq.append")
     val bid = stats.bid

@@ -49,17 +49,12 @@ object ExtractMain {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val writerMarker = new org.apache.hadoop.fs.Path(s"$outDir/_writer")
-    val pinnedOpt =
-      if (!fs.exists(writerMarker)) None
-      else {
-        val in = fs.open(writerMarker)
-        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        // an empty/garbage marker (kill between create and write) is
-        // treated as absent — the legacy check below re-derives the pin
-        // instead of leaving the outDir permanently unresumable
-        Some(raw).filter(v => v == "parquet" || v == "jsonl")
-      }
+    // shared helper: a marker left empty by a kill between create and
+    // write reads as absent, so the legacy check below re-derives the pin
+    // instead of leaving the outDir permanently unresumable; a garbage
+    // value is likewise treated as absent
+    val pinnedOpt = graft.util.Markers.read(fs, writerMarker)
+      .filter(v => v == "parquet" || v == "jsonl")
     pinnedOpt match {
       case Some(pinned) =>
         require(pinned == backend,
@@ -77,8 +72,7 @@ object ExtractMain {
         require(!legacy || backend == "parquet",
           s"outDir $outDir holds a pre-existing (unpinned) parquet checkpoint; " +
             s"resuming it with '$backend' would mix formats — pass 'parquet'")
-        val out = fs.create(writerMarker, true)
-        try out.write(backend.getBytes("UTF-8")) finally out.close()
+        graft.util.Markers.write(fs, writerMarker, backend)
     }
     val (writer, readLineage) = backend match {
       case "jsonl" =>
