@@ -43,8 +43,20 @@ object AnnIndex {
     * farthest-first rule — kmeans++'s D²-sampling with the argmax instead of
     * a draw, so no RNG). Ties break by vec_id. At 100 TB the sample bound
     * keeps seeding one scan + O(sampleSize × nCells) driver work.
+    *
+    * `nCells` must not exceed `sampleSize`: the seeds come FROM the sample,
+    * so a larger nCells would silently under-cell the index (fewer, fatter
+    * partitions than the caller sized probes for). Fail fast naming the
+    * knob — raising `sampleSize` is legitimate, it just scales driver
+    * memory/CPU with it (the sample is collected). A table with fewer rows
+    * than nCells still caps at the row count: an index cannot have more
+    * cells than vectors, and nothing was silently lost.
     */
   def seedCentroids(embeddings: DataFrame, nCells: Int, sampleSize: Int = 4096): DataFrame = {
+    require(nCells <= sampleSize,
+      s"seedCentroids: nCells=$nCells exceeds sampleSize=$sampleSize — seeds are drawn from " +
+        "the collected sample, so this would silently build fewer cells than asked; raise " +
+        "sampleSize to at least nCells (driver memory scales with it)")
     val spark = embeddings.sparkSession
     val sample = embeddings
       .select(col("vec_id"), col("embedding"))
@@ -186,6 +198,10 @@ object AnnIndex {
     assignTo(embeddings, spark.read.parquet(centroidsDir(indexDir)))
       .write.mode("overwrite").partitionBy("cell")
       .option("partitionOverwriteMode", "static").parquet(cellsDir(indexDir))
+    // base id digest lands before the commit marker — a committed index
+    // always carries it, so appends never pay an O(index) duplicate scan
+    DeltaBatches.writeBaseBloom(spark, indexDir,
+      spark.read.parquet(cellsDir(indexDir)).select("vec_id"))
     fs.create(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), true).close()
   }
 
@@ -204,6 +220,9 @@ object AnnIndex {
     * batch dir with no manifest row is invisible to `search`. Rebuilding
     * the base index (`build`) invalidates deltas by centroid change, so it
     * clears `delta/` and the manifest first.
+    *
+    * SINGLE WRITER per indexDir (see [[DeltaBatches]]): concurrent appends
+    * could both pass the disjointness guard and commit overlapping ids.
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
     require(fsOf(spark, indexDir).exists(new org.apache.hadoop.fs.Path(commitMarker(indexDir))),
@@ -213,23 +232,27 @@ object AnnIndex {
     val stats = DeltaBatches.contentStats(newVectors, "AnnIndex.append")
     if (stats.nDistinct < stats.n) DeltaBatches.failInternalDuplicates(newVectors, "AnnIndex.append")
     val bid = stats.bid
-    val done = DeltaBatches.committed(spark, indexDir) // read ONCE, reused below
+    val manifest = DeltaBatches.committedManifest(spark, indexDir) // read ONCE, reused below
     // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
     // successful commit) is a no-op — that, plus overwrite-on-retry below,
     // is what gives the streaming sink its exactly-once effect
-    if (done.contains(bid)) return bid
-    // a vec_id may live in the index once: check base cells + committed deltas
-    val existing = spark.read.parquet(cellsDir(indexDir)).select("vec_id")
-    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"), done)
-      .map(existing.unionByName(_)).getOrElse(existing)
-    DeltaBatches.requireDisjoint(existingAll, newVectors, "AnnIndex.append")
+    if (manifest.exists(_.bid == bid)) return bid
+    // a vec_id may live in the index once — digest-guarded (O(batch), not
+    // O(index)); the exact base+delta scan below is planned ONLY on a
+    // digest hit (real duplicate or bloom false positive)
+    val batchBloom = DeltaBatches.guardDisjoint(spark, indexDir, newVectors, stats, manifest, {
+      val existing = spark.read.parquet(cellsDir(indexDir)).select("vec_id")
+      DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"), manifest.map(_.bid))
+        .map(existing.unionByName(_)).getOrElse(existing)
+    }, "AnnIndex.append")
     val cent = spark.read.parquet(centroidsDir(indexDir))
     assignTo(newVectors, cent)
       .write.mode("overwrite").partitionBy("cell")
       .option("partitionOverwriteMode", "static")
       .parquet(s"${DeltaBatches.deltaDir(indexDir)}/batch=$bid")
-    // the manifest append IS the batch's commit marker
-    DeltaBatches.commit(spark, indexDir, bid)
+    // the manifest append IS the batch's commit marker; it carries the
+    // batch's id digest, so digest and commit are atomic
+    DeltaBatches.commit(spark, indexDir, bid, stats.n, batchBloom)
     bid
   }
 

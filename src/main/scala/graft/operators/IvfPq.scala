@@ -65,6 +65,10 @@ object IvfPq {
     PqIndex.encodeAssigned(assigned, PqIndex.loadCodebooks(spark, codebooksDir(indexDir)))
       .write.mode("overwrite").partitionBy("cell")
       .option("partitionOverwriteMode", "static").parquet(codesDir(indexDir))
+    // base id digest lands before the commit marker — a committed index
+    // always carries it, so appends never pay an O(index) duplicate scan
+    DeltaBatches.writeBaseBloom(spark, indexDir,
+      spark.read.parquet(codesDir(indexDir)).select("vec_id"))
     fs.create(new org.apache.hadoop.fs.Path(commitMarker(indexDir)), true).close()
   }
 
@@ -81,6 +85,9 @@ object IvfPq {
     * committed by a manifest row AFTER the data is durable. The
     * content-derived batch id makes retried appends overwrite themselves;
     * `build` clears the deltas because it re-derives both models.
+    *
+    * SINGLE WRITER per indexDir (see [[DeltaBatches]]): concurrent appends
+    * could both pass the disjointness guard and commit overlapping ids.
     */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame): Long = {
     requireCommitted(spark, indexDir)
@@ -88,23 +95,26 @@ object IvfPq {
     val stats = DeltaBatches.contentStats(newVectors, "IvfPq.append")
     if (stats.nDistinct < stats.n) DeltaBatches.failInternalDuplicates(newVectors, "IvfPq.append")
     val bid = stats.bid
-    val done = DeltaBatches.committed(spark, indexDir)
+    val manifest = DeltaBatches.committedManifest(spark, indexDir)
     // replaying an ALREADY-COMMITTED batch (at-least-once retry after a
     // successful commit) is a no-op — that, plus overwrite-on-retry below,
     // is what gives the streaming sink its exactly-once effect
-    if (done.contains(bid)) return bid
-    // a vec_id may live in the index once: check base + committed deltas
-    val existing = spark.read.parquet(codesDir(indexDir)).select("vec_id")
-    val existingAll = DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"), done)
-      .map(existing.unionByName(_)).getOrElse(existing)
-    DeltaBatches.requireDisjoint(existingAll, newVectors, "IvfPq.append")
+    if (manifest.exists(_.bid == bid)) return bid
+    // a vec_id may live in the index once — digest-guarded (O(batch), not
+    // O(index)); the exact base+delta scan below is planned ONLY on a
+    // digest hit (real duplicate or bloom false positive)
+    val batchBloom = DeltaBatches.guardDisjoint(spark, indexDir, newVectors, stats, manifest, {
+      val existing = spark.read.parquet(codesDir(indexDir)).select("vec_id")
+      DeltaBatches.committedDeltaRows(spark, indexDir, Seq("vec_id"), manifest.map(_.bid))
+        .map(existing.unionByName(_)).getOrElse(existing)
+    }, "IvfPq.append")
     val assigned = AnnIndex.assignTo(newVectors,
       spark.read.parquet(centroidsDir(indexDir)))
     PqIndex.encodeAssigned(assigned, PqIndex.loadCodebooks(spark, codebooksDir(indexDir)))
       .write.mode("overwrite").partitionBy("cell")
       .option("partitionOverwriteMode", "static")
       .parquet(s"${DeltaBatches.deltaDir(indexDir)}/batch=$bid")
-    DeltaBatches.commit(spark, indexDir, bid)
+    DeltaBatches.commit(spark, indexDir, bid, stats.n, batchBloom)
     bid
   }
 

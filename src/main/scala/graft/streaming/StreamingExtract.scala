@@ -129,13 +129,15 @@ object StreamingExtract {
     * the same id: the effect is exactly-once even though foreachBatch is
     * at-least-once. Empty micro-batches are skipped (append rejects them).
     *
-    * Cost note: every append runs the duplicate-id guard against the
-    * index's narrow vec_id column, so per-batch latency grows with index
-    * size. For a high-rate always-on stream, the production mitigations
-    * are a compact id digest (bloom filter) maintained with the manifest,
-    * or guaranteed-fresh upstream ids + periodic batch reconciliation;
-    * this sink keeps the strict guard because a silent duplicate corrupts
-    * every subsequent top-k.
+    * Cost note: the duplicate-id guard is digest-based (the base index's
+    * bloom plus one per committed batch, carried in the manifest — see
+    * [[graft.operators.DeltaBatches.guardDisjoint]]), so a micro-batch
+    * pays O(batch + manifest), independent of index size; only a digest
+    * hit (a real duplicate, or a ~1% bloom false positive) falls back to
+    * the exact index scan. The strict guard stays because a silent
+    * duplicate corrupts every subsequent top-k. The sink is the single
+    * writer of its indexDir (micro-batches are serial) — don't run batch
+    * maintenance appends against the same index while the stream is up.
     */
   def indexSink(vectors: DataFrame, indexDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
