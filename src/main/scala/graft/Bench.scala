@@ -258,8 +258,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum + chunkSec + semSec
     // extract_* fields from the pinned child; the embedded "extract_detail"
     // object carries its per-rep times / GC / loadavg / heap fingerprint
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction_sec":$chunkSec%.3f,"extraction_docs_per_sec":$docsPerSec%.1f,"semantic_extraction_sec":$semSec%.3f,"semantic_docs_per_sec":$semDocsPerSec%.1f,"sustained_semantic_docs_per_sec":$sustained%.1f,"docs":$nDocs,"extract_child":$childOk,"parent_heap_mb":$heapMaxMb,"suite_loadavg":[$loadBefore%.2f,$loadAfter%.2f],"extract_detail":$extractJson}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction_sec":$chunkSec%.3f,"extraction_docs_per_sec":$docsPerSec%.1f,"semantic_extraction_sec":$semSec%.3f,"semantic_docs_per_sec":$semDocsPerSec%.1f,"sustained_semantic_docs_per_sec":$sustained%.1f,"docs":$nDocs,"extract_child":$childOk,"parent_heap_mb":$heapMaxMb,"suite_loadavg":[$loadBefore%.2f,$loadAfter%.2f],"extract_detail":$extractJson}"""
+    println(line)
+    // the driver's stdout capture has truncated the line's head in past
+    // rounds ("parsed": null) — also persist the identical JSON to a file
+    // so every round's full per-query record survives in the repo
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_results.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_results.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

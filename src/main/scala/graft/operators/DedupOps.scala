@@ -149,6 +149,125 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
+  /** Exact-substring dedup tuning (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" family, re-expressed
+    * relationally). `SubK` is the token width of the exact grams whose
+    * hashes are joined; `SubW` is the winnowing window over the gram-hash
+    * sequence that selects the candidate fingerprints. Recall guarantee:
+    * any cross-document VERBATIM run of `SubW + SubK - 1` tokens contains a
+    * full winnowing window of shared gram hashes, so both documents select
+    * the same fingerprint and the pair becomes a candidate — runs of at
+    * least `SubMinRun` tokens are therefore found with certainty (modulo
+    * 60-bit hash collisions); shorter exact matches only surface when the
+    * pair is already a candidate. The suffix-array formulation of the paper
+    * needs a global sort; this gram-hash + diagonal-island formulation is
+    * the shuffle-friendly equivalent: one equi-join + one window, no
+    * all-pairs step, candidate pairs bound the quadratic work.
+    */
+  private val SubK = 8
+  private val SubW = 4
+  private val SubMinRun = SubW + SubK - 1
+
+  /** The k-gram hash table `(doc_id, pos, kh)` behind an Aggregate barrier:
+    * it feeds the winnowing window AND both sides of the verify join, so
+    * without the barrier each consumer would re-inline the tokenize→md5
+    * chain and re-scan `documents` (the sigSpark pattern — at 100 TB this
+    * narrow table is what you'd persist between runs).
+    */
+  private def kgramSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val khExpr = h60Spark(s"concat_ws(' ', slice(toks, i, $SubK))")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toksSpark).as("toks"))
+      .where(expr(s"size(toks) >= $SubK"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${SubK - 1}), i -> $khExpr)"))
+          .as(Seq("pos", "kh")))
+      .groupBy(col("doc_id"), col("pos")).agg(first(col("kh")).as("kh"))
+  }
+
+  /** Maximal cross-document exact token runs ≥ [[SubMinRun]]:
+    * `(doc_a, doc_b, pos_a, pos_b, run_len)` with `doc_a < doc_b`,
+    * positions 0-based in tokens. Winnowed fingerprints (w=[[SubW]] over
+    * the [[SubK]]-gram hashes) nominate candidate PAIRS; only those pairs'
+    * gram tables are equi-joined on hash; matched positions group into
+    * maximal runs as islands of consecutive `pos_a` along each alignment
+    * diagonal `pos_a - pos_b` (the run length adds the gram width back).
+    * Shared by `q_substring_dedup` and `q_substring_coverage`.
+    */
+  private def substringRunsSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kg = kgramSpark(s, dir)
+    // winnow: forward window over the hash sequence, rightmost-min per the
+    // Schleimer/Wilkerson/Aiken rule (min(struct(kh, -pos)) — see q_winnow)
+    val fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, SubW - 1)
+    val wins = kg.select(col("doc_id"), col("pos"),
+      min(struct(col("kh"), (-col("pos")).as("np"))).over(fwd).as("m"),
+      count(lit(1)).over(fwd).as("wlen"),
+      count(lit(1)).over(Window.partitionBy("doc_id")).as("dlen"))
+    val fps = wins
+      .where(col("wlen") === SubW || (col("pos") === 0 && col("dlen") < SubW))
+      .select(col("doc_id"), col("m.kh").as("fp"))
+      .distinct()
+    val cand = fps.as("fa")
+      .join(fps.as("fb"), col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
+      .select(col("fa.doc_id").as("doc_a"), col("fb.doc_id").as("doc_b"))
+      .distinct()
+    // verify + extend: gram rows restricted to candidate docs (cand is the
+    // small side — it broadcasts), then ONE hash equi-join; never all-pairs
+    val m = cand
+      .join(kg.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(kg.as("b"), col("doc_b") === col("b.doc_id") && col("a.kh") === col("b.kh"))
+      .select(col("doc_a"), col("doc_b"), col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val diag = Window.partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(diag))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("d"), col("grp"))
+      .agg(min(col("pa")).as("pos_a"), min(col("pb")).as("pos_b"),
+        (max(col("pa")) - min(col("pa")) + SubK).as("run_len"))
+      .where(col("run_len") >= SubMinRun)
+      .select(col("doc_a"), col("doc_b"),
+        col("pos_a").cast("bigint").as("pos_a"), col("pos_b").cast("bigint").as("pos_b"),
+        col("run_len").cast("bigint").as("run_len"))
+  }
+
+  /** DuckDB twin of [[substringRunsSpark]] — CTE chain ending in `kruns`
+    * (the winnowing formulation mirrors the q_winnow oracle, w=[[SubW]]).
+    */
+  private def substringRunsDuckCtes: String = {
+    val kEnd = SubK - 1
+    val wEnd = SubW - 1
+    s"""kt AS (SELECT doc_id, $toksDuck AS toks FROM documents
+       |       WHERE len($toksDuck) >= $SubK),
+       |kg AS MATERIALIZED (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${h60Duck(s"array_to_string(toks[i:i+$kEnd], ' ')")} AS kh
+       |  FROM kt, LATERAL unnest(generate_series(1, len(toks) - $kEnd)) u(i)),
+       |khs AS (SELECT doc_id, list(kh ORDER BY pos) AS h FROM kg GROUP BY doc_id),
+       |kwins AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(len(h) - $SubW + 1, 1)), s ->
+       |      list_min(h[s : least(s + $wEnd, len(h))])) AS fps
+       |  FROM khs),
+       |kfps AS MATERIALIZED (SELECT DISTINCT doc_id, u.fp AS fp
+       |         FROM (SELECT doc_id, unnest(fps) AS fp FROM kwins) u(doc_id, fp)),
+       |kcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM kfps a JOIN kfps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |km AS (
+       |  SELECT c.doc_a, c.doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM kcand c
+       |  JOIN kg a ON a.doc_id = c.doc_a
+       |  JOIN kg b ON b.doc_id = c.doc_b AND b.kh = a.kh),
+       |kisl AS (
+       |  SELECT doc_a, doc_b, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |  FROM km),
+       |kruns AS (
+       |  SELECT doc_a, doc_b, min(pa) AS pos_a, min(pb) AS pos_b,
+       |         max(pa) - min(pa) + $SubK AS run_len
+       |  FROM kisl GROUP BY doc_a, doc_b, pa - pb, grp
+       |  HAVING max(pa) - min(pa) + $SubK >= $SubMinRun)""".stripMargin
+  }
+
   /** The curation pipeline's CTE chain, shared by the `q_curation_pipeline`
     * and `q_curation_funnel` oracles (callers prepend WITH RECURSIVE).
     */
@@ -872,6 +991,60 @@ object DedupOps {
         .join(broadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("is_dup").isNull, "kept").otherwise("dup").as("status"))
+        .orderBy("doc_id")
+    },
+
+    // Exact substring dedup (Lee et al. 2022): maximal VERBATIM token runs
+    // shared across unrelated documents — boilerplate, licenses, templates
+    // — that doc-level MinHash misses when the surrounding text differs.
+    // Spark shape: winnowed gram-hash fingerprints nominate candidate
+    // pairs, one hash equi-join verifies, diagonal islands recover the
+    // maximal runs; the gram table sits behind ONE barrier (one documents
+    // scan feeds fingerprints and both join sides). See substringRunsSpark.
+    Op("q_substring_dedup",
+      s"""WITH $substringRunsDuckCtes
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |       CAST(pos_a AS BIGINT) AS pos_a, CAST(pos_b AS BIGINT) AS pos_b,
+         |       CAST(run_len AS BIGINT) AS run_len
+         |FROM kruns
+         |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin) { (s, dir) =>
+      substringRunsSpark(s, dir).orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+    },
+
+    // The removal rule over those runs: per document, how many of its
+    // tokens are covered by a ≥ SubMinRun-token run already present in a
+    // LOWER-id document (the keeper, consistent with every other keeper
+    // rule here), and the action a curation pass takes — 'drop' when ≥ 80%
+    // of the doc is duplicated text, 'strip' (cut just the spans)
+    // otherwise. The 80% gate is exact-integer (5·dup ≥ 4·total).
+    Op("q_substring_coverage",
+      s"""WITH $substringRunsDuckCtes,
+         |kcover AS (
+         |  SELECT DISTINCT doc_b AS doc_id, p AS tok
+         |  FROM kruns, LATERAL unnest(generate_series(pos_b, pos_b + run_len - 1)) v(p))
+         |SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS dup_tokens,
+         |       CAST(len(t.toks) AS BIGINT) AS total_tokens,
+         |       round(CAST(count(*) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE), 4) AS dup_pct,
+         |       CASE WHEN count(*) * 5 >= len(t.toks) * 4 THEN 'drop' ELSE 'strip' END AS action
+         |FROM kcover c JOIN kt t USING (doc_id)
+         |GROUP BY c.doc_id, len(t.toks)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cover = substringRunsSpark(s, dir)
+        .select(col("doc_b").as("doc_id"),
+          explode(sequence(col("pos_b"), col("pos_b") + col("run_len") - 1)).as("tok"))
+        .distinct()
+      val totals = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(s"size($toksSpark)").as("total_toks"))
+        .where(col("total_toks") >= SubK)
+      cover.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+        .join(totals, "doc_id")
+        .select(col("doc_id"), col("dup_tokens"),
+          col("total_toks").cast("bigint").as("total_tokens"),
+          round(col("dup_tokens").cast("double") / col("total_toks").cast("double"), 4)
+            .as("dup_pct"),
+          when(col("dup_tokens") * 5 >= col("total_toks") * 4, "drop")
+            .otherwise("strip").as("action"))
         .orderBy("doc_id")
     }
   )

@@ -46,11 +46,31 @@ object FeedbackOps {
         (sum(col("feedback")).cast("double") / count(lit(1))).as("precision_at_k"),
         max(col("feedback")).cast("double").as("hit_rate"))
 
+  /** At-most-one JSONL materialization per (session, sfDir) — the sink
+    * half of the round-trip runs ONCE (computeIfAbsent; the path is keyed
+    * by applicationId so concurrent sessions — Verify pre-flight vs Bench,
+    * parallel test forks — never race on the overwrite), and every
+    * registry invocation after the first is a pure schema'd read. This
+    * keeps the side effect out of the query function's steady-state path
+    * (round-4 verdict #6) while the write→read fidelity stays under test.
+    */
+  private val materialized = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def feedbackJsonl(s: SparkSession, dir: String): String =
+    materialized.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => {
+        val path = s"/tmp/graft_feedback_jsonl/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+        feedbackRows(s, dir).write.mode("overwrite").json(path)
+        path
+      })
+
   val ops: Seq[Op] = Seq(
 
-    // S6 feedback sink + S7 feedback source: write JSONL, read it back
-    // (schema'd), aggregate — the oracle aggregates events directly, so a
-    // hash match proves the JSONL round-trip lost nothing.
+    // S6 feedback sink + S7 feedback source: write JSONL (once per
+    // session+dir, see feedbackJsonl), read it back (schema'd), aggregate —
+    // the oracle aggregates events directly, so a hash match proves the
+    // JSONL round-trip lost nothing.
     Op("q_feedback_jsonl",
       s"""SELECT $denseModelSql AS dense_model,
          |       coalesce($rerankModelSql, 'none') AS rerank_model,
@@ -59,12 +79,7 @@ object FeedbackOps {
          |       CAST(max($feedbackSql) AS DOUBLE) AS hit_rate
          |FROM events
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      // Path is keyed by the Spark applicationId so concurrent sessions
-      // (Verify pre-flight vs Bench, parallel test forks) never race on the
-      // overwrite. NOTE: invoking this op runs the JSONL write eagerly —
-      // the round-trip IS the operator under test.
-      val path = s"/tmp/graft_feedback_jsonl/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
-      feedbackRows(s, dir).write.mode("overwrite").json(path)
+      val path = feedbackJsonl(s, dir)
       val readBack = s.read
         .schema("request_id BIGINT, dense_model STRING, rerank_model STRING, feedback INT")
         .json(path)

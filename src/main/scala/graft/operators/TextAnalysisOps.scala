@@ -102,6 +102,130 @@ object TextAnalysisOps {
       (lit(1.0) - stops / words) * 0.3
   }
 
+  /** BPE training rounds for `q_bpe_vocab` / `q_bpe_encode` (Sennrich et
+    * al. 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units"). 8 is enough to exercise multi-character merges chaining on
+    * this corpus (max token length 8) while keeping the macro-expanded
+    * DuckDB oracle readable.
+    */
+  private val BpeRounds = 8
+
+  private def sqlQuote(x: String): String =
+    "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** One BPE merge applied to a `syms` array column: greedy left-to-right
+    * non-overlapping replacement of the adjacent pair (a, b) by their
+    * concatenation — Sennrich's merge rule, expressed as an `aggregate`
+    * higher-order function so the rewrite is a MAP-ONLY pass that stays in
+    * whole-stage codegen (no UDF, no shuffle). The fold carries
+    * (out, pend): `pend` is the one look-behind symbol; a (pend=a, x=b)
+    * hit emits the merged symbol and clears `pend` so overlapping matches
+    * (e.g. "aaa" under merge (a,a)) resolve left-to-right exactly as the
+    * reference algorithm does.
+    */
+  private def bpeMergeExpr(a: String, b: String): String = {
+    val qa = sqlQuote(a); val qb = sqlQuote(b); val qab = sqlQuote(a + b)
+    s"""aggregate(
+       |  syms,
+       |  named_struct('out', cast(array() as array<string>), 'pend', cast(null as string)),
+       |  (acc, x) -> CASE
+       |    WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)
+       |    WHEN acc.pend = $qa AND x = $qb
+       |      THEN named_struct('out', array_append(acc.out, $qab), 'pend', cast(null as string))
+       |    ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x) END,
+       |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+       |              ELSE array_append(acc.out, acc.pend) END)""".stripMargin
+  }
+
+  /** The full BPE training loop: returns the learned merge list
+    * (rank, lhs, rhs, pair_freq) and the final per-word segmentation table
+    * (word, freq, syms). Driver-coordinated K-round iteration — the only
+    * driver traffic is ONE row per round (the argmax pair via
+    * TakeOrderedAndProject), never data-sized.
+    *
+    * 100 TB shape: the corpus collapses to a (word, freq) vocabulary table
+    * with ONE corpus-sized shuffle up front; every round after that is an
+    * explode + partial-agg'd count over the VOCABULARY (bounded by distinct
+    * words, not corpus rows) plus a map-only merge rewrite. This is exactly
+    * why production BPE trainers operate on word-frequency tables. Each
+    * round's segmentation is localCheckpoint'd so the plan (and the nested
+    * `aggregate` expression tree) doesn't grow with the round count.
+    */
+  private[operators] def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(expr(toksSpark)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seqs = vocab.select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < BpeRounds && !exhausted) {
+      r += 1
+      val top = seqs.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(desc("f"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, f))
+        seqs = seqs.select(col("word"), col("freq"), expr(bpeMergeExpr(a, b)).as("syms"))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), seqs)
+  }
+
+  /** DuckDB twin of [[bpeTrain]]: the K rounds macro-expanded into a CTE
+    * chain (`bs0 … bs$BpeRounds`, with `bt$r` holding round r's chosen
+    * merge). The greedy non-overlapping merge is expressed relationally —
+    * matched pair positions grouped into islands of consecutive positions
+    * (pos − row_number), odd ranks within an island taken (matches at i and
+    * i+1 overlap; i and i+2 don't) — which selects exactly the pairs the
+    * Spark fold merges. Each round's `bs$r` (and the doubly-referenced
+    * `bg$r`) is `MATERIALIZED`: DuckDB otherwise inlines every CTE
+    * reference, so the doubly-referenced chain expands 2^K scans of
+    * `documents` and dies on open-file limits.
+    */
+  private def bpeDuckCtes: String = {
+    val init =
+      s"""bw AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+         |       FROM (SELECT unnest($toksDuck) AS tok FROM documents) GROUP BY 1),
+         |bs0 AS MATERIALIZED (SELECT word, freq,
+         |          list_transform(generate_series(1, length(word)), i -> substring(word, i, 1)) AS syms
+         |        FROM bw)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""bp$r AS (SELECT s.word, s.freq, u.i AS pos, s.syms[u.i] AS a, s.syms[u.i + 1] AS b
+         |  FROM bs$p s, LATERAL unnest(generate_series(1, len(s.syms) - 1)) u(i)),
+         |bt$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS f
+         |  FROM bp$r GROUP BY a, b ORDER BY f DESC, a, b LIMIT 1),
+         |bm$r AS (SELECT p.word, p.pos,
+         |    p.pos - row_number() OVER (PARTITION BY p.word ORDER BY p.pos) AS isl
+         |  FROM bp$r p JOIN bt$r t ON p.a = t.a AND p.b = t.b),
+         |bg$r AS MATERIALIZED (SELECT word, pos FROM (
+         |    SELECT word, pos, row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS rk
+         |    FROM bm$r) WHERE rk % 2 = 1),
+         |bs$r AS MATERIALIZED (
+         |  SELECT e.word, e.freq,
+         |    list(CASE WHEN g.pos IS NOT NULL THEN e.s || e.s2 ELSE e.s END ORDER BY e.i) AS syms
+         |  FROM (SELECT s.word, s.freq, u.i, s.syms[u.i] AS s, s.syms[u.i + 1] AS s2
+         |        FROM bs$p s, LATERAL unnest(generate_series(1, len(s.syms))) u(i)) e
+         |  LEFT JOIN bg$r g ON g.word = e.word AND g.pos = e.i
+         |  LEFT JOIN bg$r h ON h.word = e.word AND h.pos = e.i - 1
+         |  WHERE h.pos IS NULL
+         |  GROUP BY e.word, e.freq)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   val ops: Seq[Op] = Seq(
 
     // Deterministic stratified train/val/test split — the assignment every
@@ -494,6 +618,63 @@ object TextAnalysisOps {
           "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), asc("pair")).limit(20)
+    },
+
+    // Full BPE tokenizer training (Sennrich et al. 2016): K = BpeRounds
+    // driver-coordinated merge rounds — each round argmaxes the adjacent
+    // symbol-pair frequency over the (word, freq) vocabulary table and
+    // applies the winning merge as a map-only greedy rewrite (see
+    // bpeTrain). Output is the learned merge list in training order; the
+    // oracle macro-expands the identical rounds as a DuckDB CTE chain with
+    // the greedy rule expressed via position islands.
+    Op("q_bpe_vocab",
+      s"""WITH ${bpeDuckCtes}
+         |SELECT * FROM (
+         |${(1 to BpeRounds).map(r =>
+             s"  SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs," +
+               s" a || b AS merged, f AS pair_freq FROM bt$r").mkString("\n  UNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (merges, _) = bpeTrain(s, dir)
+      merges.map { case (r, a, b, f) => (r, a, b, a + b, f) }
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
+        .orderBy("merge_rank")
+    },
+
+    // BPE encode under the trained vocabulary: per-document token counts
+    // after applying the learned merges. Because training already produced
+    // the final segmentation of every vocabulary word, encoding IS a
+    // dictionary join — explode docs to words, broadcast-join the
+    // vocabulary-sized (word → |subwords|) table, aggregate per doc. At
+    // 100 TB that broadcast dictionary is exactly how you'd deploy a
+    // trained tokenizer for corpus-wide token accounting (out-of-vocab
+    // words would fall back to the merge fold; this corpus has none by
+    // construction since train corpus = encode corpus).
+    Op("q_bpe_encode",
+      s"""WITH ${bpeDuckCtes},
+         |bseg AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,
+         |                CAST(length(word) AS BIGINT) AS n_chars
+         |         FROM bs$BpeRounds)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(g.n_sub) AS BIGINT) AS n_tokens,
+         |       CAST(sum(g.n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(g.n_chars) AS DOUBLE) / CAST(sum(g.n_sub) AS DOUBLE) AS chars_per_token
+         |FROM (SELECT doc_id, unnest($toksDuck) AS word FROM documents) d
+         |JOIN bseg g USING (word)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val (_, seqs) = bpeTrain(s, dir)
+      val segs = seqs.select(col("word"), size(col("syms")).cast("bigint").as("n_sub"),
+        length(col("word")).cast("bigint").as("n_chars"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toksSpark)).as("word"))
+        .join(broadcast(segs), Seq("word")) // vocabulary-sized dictionary
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum("n_sub").cast("bigint").as("n_tokens"),
+          sum("n_chars").cast("bigint").as("n_chars"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
     },
 
     // DSIR-style importance weighting (Xie et al. 2023, "Data Selection for

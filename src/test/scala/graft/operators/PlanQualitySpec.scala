@@ -246,4 +246,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(4000))
   }
+
+  /** Round-4 verdict #2: substring dedup must be the winnowing-candidate +
+    * collision-equi-join shape — the k-gram hash table materialized ONCE
+    * behind its barrier (one documents scan; fingerprints and both verify
+    * sides reuse the exchange), and never an all-pairs step.
+    */
+  test("q_substring_dedup: one documents scan, barrier'd gram table, no all-pairs") {
+    withStaticReuse {
+      val p = plan("q_substring_dedup")
+      assert(p.contains("first(kh"), p.take(4000))
+      assert("FileScan".r.findAllIn(p).size == 1, p.take(4000))
+      assert(p.contains("ReusedExchange"), p.take(4000))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        p.take(4000))
+    }
+  }
 }
