@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import graft.kernel.{Extract, ExtractMode}
 import graft.model.Doc
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -162,13 +164,70 @@ object StreamingExtract {
     * unbounded input: canonicalize (fragment/tracking-param strip,
     * scheme+host lowercasing) and drop blocklisted domains, via the SAME
     * shared expressions and blocklist as the batch operator, so the two
-    * surfaces gate identically by construction. The per-domain document
-    * cap is corpus-global and stays in batch compaction — the same
-    * bounded-stream/batch split as near-dup dedup.
+    * surfaces gate identically by construction. The corpus-global
+    * per-domain document cap stays in batch compaction — the same
+    * bounded-stream/batch split as near-dup dedup; its in-horizon
+    * approximation is [[domainRateCapStream]].
     */
   def urlFilterStream(docs: DataFrame, urlCol: String = "url"): DataFrame =
     graft.operators.TextAnalysisOps.withCanonUrl(docs, urlCol)
       .where(!col("domain").isin(graft.operators.TextAnalysisOps.UrlBlocklist: _*))
+
+  /** One admitted doc after the per-domain-per-window cap. */
+  final case class CappedDoc(domain: String, window_start: Timestamp,
+      window_end: Timestamp, ts: Timestamp, doc_id: String, canon_url: String)
+
+  /** Streaming per-domain RATE cap — the watermark-bounded, in-horizon
+    * approximation of `q_url_curation`'s corpus-global per-domain cap: at
+    * most `maxPerWindow` docs per canonical domain per tumbling event-time
+    * window pass; the rest drop in-stream. Batch compaction still owns the
+    * exact corpus-global cap (it sees all history); this stage exists so a
+    * crawler burst or a single hot domain cannot flood the sink between
+    * compactions.
+    *
+    * Shape: domains come from the SAME `withCanonUrl` expressions as the
+    * batch operator and the URL gate, then a `flatMapGroupsWithState`
+    * keyed by (domain, window_start) holds ONE counter per key — admitted
+    * docs flow through, the counter survives across micro-batches (doc
+    * N+1 arriving in a later micro-batch of the same window still drops),
+    * and an event-time timeout at window end evicts the counter once the
+    * watermark passes it, so state is bounded by (active domains ×
+    * windows inside the horizon), never corpus-global. Within one
+    * micro-batch, admission order is (ts, doc_id) so replays admit the
+    * same docs.
+    */
+  def domainRateCapStream(
+      docs: DataFrame,
+      maxPerWindow: Int,
+      urlCol: String = "url",
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): Dataset[CappedDoc] = {
+    require(maxPerWindow > 0, s"maxPerWindow must be positive, got $maxPerWindow")
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.operators.TextAnalysisOps.withCanonUrl(docs, urlCol)
+      .withWatermark("ts", watermark)
+      .withColumn("w", window(col("ts"), windowLen))
+      .select(col("domain"), col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("ts"), col("doc_id"), col("canon_url"))
+      .as[CappedDoc]
+      .groupByKey(r => (r.domain, r.window_start.getTime))
+      .flatMapGroupsWithState[Long, CappedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrived = rows.toIndexedSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val admittedSoFar = state.getOption.getOrElse(0L)
+            val admit = arrived.take(math.max(0L, maxPerWindow - admittedSoFar).toInt)
+            state.update(admittedSoFar + admit.size)
+            // rows of this key all share the window; timeout at its end —
+            // the watermark passing it means no more rows can arrive
+            state.setTimeoutTimestamp(arrived.head.window_end.getTime)
+            admit.iterator
+          }
+      }
+  }
 
   def curateStream(
       docs: DataFrame,

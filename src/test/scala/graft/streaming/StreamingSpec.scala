@@ -188,6 +188,40 @@ class StreamingSpec extends SparkTestBase {
       ("u5", "https://ok.example.net/p?href=b&id=2", "ok.example.net")))
   }
 
+  test("streaming per-domain rate cap: doc N+1 in-window dropped across micro-batches, next window passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val df = stream.toDS().toDF("ts", "doc_id", "url")
+    val q = StreamingExtract.domainRateCapStream(df, maxPerWindow = 2,
+        watermark = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("domain_cap").outputMode("append").start()
+    // batch 1: three docs from hot.example.com inside the 10:00-10:05 window
+    // (third drops), one doc from a cold domain (passes)
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "h1", "https://HOT.example.com/a"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "h2", "https://hot.example.com/b?utm_source=x"),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "h3", "https://hot.example.com/c"),
+      (Timestamp.valueOf("2024-01-01 10:01:30"), "c1", "https://cold.example.net/z"))
+    q.processAllAvailable()
+    // batch 2: SAME window, later micro-batch — counter must survive, h4 drops
+    stream.addData((Timestamp.valueOf("2024-01-01 10:03:00"), "h4", "https://hot.example.com/d"))
+    q.processAllAvailable()
+    // batch 3: next window (10:05-10:10) — same domain admitted again
+    stream.addData((Timestamp.valueOf("2024-01-01 10:06:00"), "h5", "https://hot.example.com/e"))
+    q.processAllAvailable()
+    // batch 4: far-future event advances the watermark past both windows,
+    // evicting their counters via the event-time timeout
+    stream.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "z1", "https://cold.example.net/y"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("domain_cap")
+    val kept = out.select("doc_id").as[String].collect().toSet
+    assert(kept == Set("h1", "h2", "c1", "h5", "z1"), s"kept=$kept")
+    // domains come through the shared canonicalizer (lowercased host)
+    val domains = out.where($"doc_id".startsWith("h")).select("domain").as[String].collect().toSet
+    assert(domains == Set("hot.example.com"))
+  }
+
   test("streaming index sink: micro-batches append to the persisted IVF index") {
     implicit val sqlCtx = spark.sqlContext
     val emb = graft.operators.Tables.embeddings(spark, sfDir)
