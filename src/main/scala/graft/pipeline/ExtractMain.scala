@@ -48,32 +48,7 @@ object ExtractMain {
       s"unknown writer backend '$backend' — expected parquet or jsonl")
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val writerMarker = new org.apache.hadoop.fs.Path(s"$outDir/_writer")
-    // shared helper: a marker left empty by a kill between create and
-    // write reads as absent, so the legacy check below re-derives the pin
-    // instead of leaving the outDir permanently unresumable; a garbage
-    // value is likewise treated as absent
-    val pinnedOpt = graft.util.Markers.read(fs, writerMarker)
-      .filter(v => v == "parquet" || v == "jsonl")
-    pinnedOpt match {
-      case Some(pinned) =>
-        require(pinned == backend,
-          s"outDir $outDir was written with the '$pinned' backend; resuming with " +
-            s"'$backend' would misread its lineage — pass '$pinned' (or a fresh outDir)")
-      case None =>
-        // legacy outDirs (created before the marker existed) carry lineage
-        // OR span data but no pin — they are parquet by construction, so
-        // resuming one with 'jsonl' must fail instead of silently pinning
-        // the wrong backend over parquet files (a run killed before its
-        // first group commit has spans but no lineage yet)
-        val legacy =
-          fs.exists(new org.apache.hadoop.fs.Path(Checkpoint.lineageDir(outDir))) ||
-          fs.exists(new org.apache.hadoop.fs.Path(Checkpoint.spansDir(outDir)))
-        require(!legacy || backend == "parquet",
-          s"outDir $outDir holds a pre-existing (unpinned) parquet checkpoint; " +
-            s"resuming it with '$backend' would mix formats — pass 'parquet'")
-        graft.util.Markers.write(fs, writerMarker, backend)
-    }
+    resolveBackendPin(fs, outDir, backend)
     val (writer, readLineage) = backend match {
       case "jsonl" =>
         (new JsonlSpanWriter(spark, outDir),
@@ -82,12 +57,87 @@ object ExtractMain {
         (new Checkpoint.ParquetSpanWriter(spark, outDir),
           () => Checkpoint.readLineage(spark, outDir))
     }
+    runAndReport(spark, docs, writer, readLineage, mode, numGroups)
+    spark.stop()
+  }
+
+  private def runAndReport(spark: SparkSession, docs: org.apache.spark.sql.Dataset[graft.model.Doc],
+      writer: Checkpoint.SpanWriter, readLineage: () => org.apache.spark.sql.DataFrame,
+      mode: ExtractMode, numGroups: Int): Unit = {
     val processed = Checkpoint.runResumable(docs, writer,
       ExtractJob.Config(mode = mode), numGroups = numGroups, maxGroups = Int.MaxValue)
     val lineage = readLineage()
     val summary = lineage.groupBy().sum("docs_parsed", "spans_emitted", "parse_failures").collect()(0)
     println(s"[extract] groups processed this run: $processed/$numGroups; " +
       s"totals: docs=${summary.getLong(0)} spans=${summary.getLong(1)} failures=${summary.getLong(2)}")
-    spark.stop()
+  }
+
+  /** Enforce the per-outDir backend pin. With a valid `_writer` marker the
+    * requested backend must match it. With the marker absent (legacy outDir,
+    * or a marker lost to a kill between create and write) but data present,
+    * the pin is RE-DERIVED from the checkpoint's own bytes — parquet files
+    * open with the `PAR1` magic, our JSON-lines files with `{` — rather than
+    * assumed parquet: a marker-less jsonl checkpoint under that assumption
+    * would be steered to resume as 'parquet' and then die later on a
+    * confusing parquet-footer error over JSON files. The re-derived (or
+    * fresh) pin is written back so the next resume takes the fast path.
+    */
+  private[pipeline] def resolveBackendPin(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String, backend: String): Unit = {
+    val writerMarker = new org.apache.hadoop.fs.Path(s"$outDir/_writer")
+    // shared helper: a marker left empty by a kill between create and write
+    // reads as absent; a garbage value is likewise treated as absent
+    graft.util.Markers.read(fs, writerMarker)
+      .filter(v => v == "parquet" || v == "jsonl") match {
+      case Some(pinned) =>
+        require(pinned == backend,
+          s"outDir $outDir was written with the '$pinned' backend; resuming with " +
+            s"'$backend' would misread its lineage — pass '$pinned' (or a fresh outDir)")
+      case None =>
+        sniffCheckpointFormat(fs, Checkpoint.lineageDir(outDir))
+          .orElse(sniffCheckpointFormat(fs, Checkpoint.spansDir(outDir))) match {
+          case Some(actual) =>
+            require(actual == backend,
+              s"outDir $outDir holds a pre-existing (unpinned) checkpoint whose files " +
+                s"sniff as '$actual'; resuming it with '$backend' would mix formats — " +
+                s"pass '$actual'")
+          case None => // fresh (or data-less) outDir: nothing to contradict the pin
+        }
+        graft.util.Markers.write(fs, writerMarker, backend)
+    }
+  }
+
+  /** First committed data file's magic under `dir` (recursive): `PAR1` →
+    * parquet, `{` → jsonl, unknown/none → None. Hidden files (`_staging…`
+    * dirs, `.crc`, `_SUCCESS`) are skipped — they are not committed data.
+    */
+  private[pipeline] def sniffCheckpointFormat(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[String] = {
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    if (!fs.exists(p)) return None
+    // only segments BELOW dir count as hidden — the outDir path itself may
+    // legitimately contain _-prefixed directories
+    def hidden(path: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = path
+      while (cur != null && cur != p) {
+        if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getLen > 0 && !hidden(st.getPath)) {
+        val in = fs.open(st.getPath)
+        val buf = new Array[Byte](4)
+        val n = try in.read(buf) finally in.close()
+        if (n >= 4 && java.util.Arrays.equals(buf, "PAR1".getBytes("UTF-8")))
+          return Some("parquet")
+        if (n >= 1 && buf(0) == '{') return Some("jsonl")
+        // unknown magic: keep scanning for a recognizable committed file
+      }
+    }
+    None
   }
 }

@@ -262,4 +262,55 @@ class PlanQualitySpec extends SparkTestBase {
         p.take(4000))
     }
   }
+
+  private def withConfs[A](confs: Map[String, String])(f: => A): A = {
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Round-4 verdict #8: SURVEY §4.2 promises AQE skew handling for the
+    * giant-doc joins; this gate proves the config actually fires. One hot
+    * key carries 50% of the probe side, so one shuffle partition is ~5x the
+    * median; with the skew thresholds sized for test-scale bytes (the only
+    * change vs production defaults — the 256 MB default can't trigger on a
+    * 4 MB shuffle), AQE must rewrite the sort-merge join with the skewed
+    * partition split into advisory-sized chunks (`skew=true` in the final
+    * adaptive plan), and the join result must be unchanged.
+    */
+  test("AQE skew join: 50%-hot key split into skew=true SMJ, result unchanged") {
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // keep it a shuffled join
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    withConfs(confs) {
+      import spark.implicits._
+      // high-entropy payload so shuffle compression can't flatten the skew
+      val pay = concat(md5($"id".cast("string")), md5(($"id" + 1).cast("string")),
+        md5(($"id" + 2).cast("string")))
+      val left = spark.range(40000).select(
+        when($"id" % 2 === 0, lit(0L)).otherwise(pmod($"id", lit(997)) + 1).as("k"), pay.as("pl"))
+      val right = spark.range(2000).select(($"id" % 998).as("k"), $"id".as("rv"))
+      // aggregate over the payload so column pruning can't strip it from
+      // the join shuffle (a bare count() would, and the partitions would
+      // fall under the byte threshold)
+      def probe(df: org.apache.spark.sql.DataFrame) =
+        df.join(right, "k").agg(count(lit(1)).as("n"), sum(length($"pl")).as("bytes"))
+      val agg = probe(left)
+      val Array(row) = agg.collect()
+      val expected = withConfs(Map("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
+        probe(left).collect()(0)
+      }
+      assert(row == expected, s"skew-split join changed the result: $row vs $expected")
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(6000))
+    }
+  }
 }

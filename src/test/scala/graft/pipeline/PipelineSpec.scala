@@ -268,4 +268,50 @@ class PipelineSpec extends SparkTestBase {
     assert(j.nonEmpty && j == p)
     assert(JsonlSpanWriter.readLineage(spark, dirJ).select("grp").distinct().count() == 8)
   }
+
+  test("backend pin: marker-less checkpoint re-derives its format from file magic, not assumed parquet") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkCheckpoint(firstBytes: Array[Byte]): String = {
+      val dir = Files.createTempDirectory("graft-pin").toString
+      val f = new org.apache.hadoop.fs.Path(s"${Checkpoint.lineageDir(dir)}/part-00000")
+      val out = fs.create(f, true)
+      try out.write(firstBytes) finally out.close()
+      dir
+    }
+    // a jsonl checkpoint whose _writer marker was lost: resuming as parquet
+    // must fail NAMING the sniffed format, and resuming as jsonl must re-pin
+    val dirJ = mkCheckpoint("""{"grp":0,"docs_parsed":1}""".getBytes("UTF-8"))
+    val eJ = intercept[IllegalArgumentException] {
+      ExtractMain.resolveBackendPin(fs, dirJ, "parquet")
+    }
+    assert(eJ.getMessage.contains("'jsonl'"), eJ.getMessage)
+    ExtractMain.resolveBackendPin(fs, dirJ, "jsonl") // re-pins
+    assert(graft.util.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(s"$dirJ/_writer")).contains("jsonl"))
+    // the marker now takes the fast path: mismatch still rejected
+    val eJ2 = intercept[IllegalArgumentException] {
+      ExtractMain.resolveBackendPin(fs, dirJ, "parquet")
+    }
+    assert(eJ2.getMessage.contains("was written with the 'jsonl' backend"), eJ2.getMessage)
+
+    // the symmetric legacy-parquet case (PAR1 magic)
+    val dirP = mkCheckpoint("PAR1xxxx".getBytes("UTF-8"))
+    val eP = intercept[IllegalArgumentException] {
+      ExtractMain.resolveBackendPin(fs, dirP, "jsonl")
+    }
+    assert(eP.getMessage.contains("'parquet'"), eP.getMessage)
+    ExtractMain.resolveBackendPin(fs, dirP, "parquet")
+
+    // hidden files (staging dirs, crc) never decide the sniff; a dir with
+    // only hidden data pins fresh without complaint
+    val dirH = Files.createTempDirectory("graft-pin-hidden").toString
+    val hf = new org.apache.hadoop.fs.Path(
+      s"${Checkpoint.spansDir(dirH)}/_staging_grp_0/part-00000")
+    val out = fs.create(hf, true)
+    try out.write("PAR1xxxx".getBytes("UTF-8")) finally out.close()
+    ExtractMain.resolveBackendPin(fs, dirH, "jsonl")
+    assert(graft.util.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(s"$dirH/_writer")).contains("jsonl"))
+  }
 }
