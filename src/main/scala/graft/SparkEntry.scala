@@ -19,7 +19,7 @@ object SparkEntry {
   private val allOps: Seq[Op] =
     ExtractOps.ops ++ RetrievalOps.ops ++ EvalOps.ops ++ FeedbackOps.ops ++
       RelationalOps.ops ++ DedupOps.ops ++ SimilarityOps.ops ++
-      TextAnalysisOps.ops ++ MultimodalOps.ops
+      TextAnalysisOps.ops ++ MultimodalOps.ops ++ CorpusOps.ops
 
   /** Flagship: the full extraction pipeline (synthesize interleaved docs →
     * salted repartition → kernel → spans), exploded to one row per output

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level assembly operators — the steps between a curated document
+  * table and a training run: domain mixture sampling, deterministic global
+  * shuffle + sharding, and link-graph scoring. (The reference stops at
+  * retrieval; these extend the engine along the training-data-pipeline axis
+  * like DedupOps/TextAnalysisOps.)
+  *
+  * All three are RNG-free: sampling and ordering decisions are pure
+  * functions of content ids (md5-derived uniform hashes — the same
+  * `h60` idiom as stratified split), so a re-run, a retried task, or a
+  * different partitioning produces the identical corpus.
+  */
+object CorpusOps {
+
+  private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+  private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+
+  val ops: Seq[Op] = Seq(
+
+    /** DoReMi/The-Pile-style static domain mixture: each source domain gets
+      * a target sampling rate (here a deterministic function of the domain —
+      * in production a learned weight table), and a document is admitted iff
+      * a uniform hash of (doc_id, source) falls under the domain's rate.
+      * Map-only over the corpus (the weight table broadcasts); the report
+      * aggregates admitted vs target ppm per domain. At 100 TB: one scan,
+      * one partial-agg'd groupBy over ~|domains| rows — the sampling itself
+      * never shuffles. Exact-integer ppm math (single integer division) so
+      * both engines agree bit-for-bit.
+      */
+    Op("q_domain_mixture",
+      s"""WITH rated AS (
+         |  SELECT source,
+         |    least(1000000, 50000 * (1 + CAST(substring(source, 4) AS BIGINT))) AS target_ppm,
+         |    ${h60Duck("CAST(doc_id AS VARCHAR) || ':' || source")} % 1000000 AS u
+         |  FROM documents)
+         |SELECT source, target_ppm,
+         |  CAST(count(*) AS BIGINT) AS total,
+         |  CAST(count(*) FILTER (WHERE u < target_ppm) AS BIGINT) AS sampled,
+         |  (count(*) FILTER (WHERE u < target_ppm)) * 1000000 // count(*) AS actual_ppm
+         |FROM rated GROUP BY source, target_ppm
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          least(lit(1000000L),
+            lit(50000L) * (lit(1L) + substring(col("source"), 4, 10).cast("bigint"))).as("target_ppm"),
+          (expr(h60Spark("cast(doc_id as string) || ':' || source")) % 1000000L).as("u"))
+        .groupBy(col("source"), col("target_ppm"))
+        .agg(count(lit(1)).as("total"),
+          count(when(col("u") < col("target_ppm"), 1)).as("sampled"))
+        .select(col("source"), col("target_ppm"), col("total"), col("sampled"),
+          expr("sampled * 1000000 div total").as("actual_ppm"))
+        .orderBy("source")
+    },
+
+    /** Deterministic training-order shuffle + sharding: shard =
+      * hash(doc_id) mod nShards, position within shard = rank of an
+      * independent hash(doc_id). This is how a 100 TB corpus is written out
+      * for a data loader: repartition by shard (ONE hash shuffle), sort
+      * within each shard partition — never a global sort (a global
+      * order-by at corpus scale is a range-exchange over everything, and
+      * the loader only needs per-shard order anyway). The two hashes are
+      * salted differently so shard assignment and intra-shard order are
+      * independent.
+      */
+    Op("q_shuffle_shard",
+      s"""SELECT doc_id,
+         |  ${h60Duck("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY ${h60Duck("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    ORDER BY ${h60Duck("'ord:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS pos
+         |FROM documents
+         |ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("ord"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (expr(h60Spark("'shard:' || cast(doc_id as string)")) % 8).as("shard"),
+          expr(h60Spark("'ord:' || cast(doc_id as string)")).as("ord"))
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+
+    /** PageRank over a deterministic doc link graph (doc `id` links to
+      * (7·id+k) mod n for k = 1 .. 1+id%3, so out-degree varies 1-3 and
+      * in-degree varies with it — a regular graph would keep the uniform
+      * start vector a fixpoint and prove nothing; the k=1 stratum is a
+      * bijection, so every node keeps ≥1 in-link and none vanish from the
+      * propagation), standing in for a crawl's hyperlink table; 5
+      * synchronous iterations. Rank flows
+      * in exact integer micro-units — r'(v) = 0.15 + 0.85·Σ r(u)/deg(u)
+      * becomes `150000 + (85 * Σ (r(u) // deg(u))) // 100` — because
+      * floating-point PageRank sums in corpus order, and two engines (or two
+      * partitionings of the same engine) would disagree in the last ulp.
+      * Integer sums are order-free, so the result is bit-stable anywhere.
+      *
+      * Scale shape: per iteration one equi-join of the narrow (node, rank)
+      * table against the edge list (both hash-partitioned on the join key —
+      * co-partitioned after the first round) + a partial-agg'd sum; ranks
+      * localCheckpoint per round so the plan doesn't grow with iterations —
+      * the same discipline as connected components. Never materializes
+      * anything wider than (node, rank).
+      */
+    Op("q_pagerank", {
+      val n = "(SELECT count(*) FROM documents)"
+      val iter = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT e.dst AS node,
+           |    150000 + (85 * sum(r.rank // d.deg)) // 100 AS rank
+           |  FROM edges e JOIN $prev r ON r.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + t.k) % $n AS dst
+         |  FROM documents, unnest([1, 2, 3]) AS t(k)
+         |  WHERE t.k <= 1 + doc_id % 3),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rank FROM documents),
+         |${(1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+         |SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_micro
+         |FROM r5 ORDER BY rank DESC, node LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val edges = docs.select(col("doc_id"),
+          explode(expr("sequence(1, cast(1 + doc_id % 3 as int))")).as("k"))
+        .select(col("doc_id").as("src"), ((col("doc_id") * 7 + col("k")) % n).as("dst"))
+        .localCheckpoint(true)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var rank = docs.select(col("doc_id").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 5) {
+        rank = edges.join(rank, edges("src") === rank("node"))
+          .join(deg, "src")
+          .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+          .groupBy("node")
+          .agg((lit(150000L) + expr("85 * sum(contrib) div 100")).as("rank"))
+          .localCheckpoint(true)
+      }
+      rank.select(col("node").as("doc_id"), col("rank").cast("bigint").as("rank_micro"))
+        .orderBy(desc("rank_micro"), asc("doc_id")).limit(100)
+    }
+  )
+}

@@ -47,6 +47,51 @@ object MultimodalOps {
           (lit(16) * (lit(1) + col("doc_id") % 16)).cast("bigint").as("stub_width"),
           (lit(16) * (lit(1) + (col("doc_id") / 16).cast("bigint") % 16)).cast("bigint").as("stub_height"))
         .orderBy("doc_id")
+    },
+
+    /** Interleaved media↔text pairing — the multimodal-training operator the
+      * span model exists for: every media span is paired with the text span
+      * that FOLLOWS it in document order (its caption, in figure-under-image
+      * convention). The Spark side exercises the real mechanism — rebuild
+      * the interleaved span sequence (sentence spans with one media span
+      * spliced in at a content-determined position), posexplode to
+      * (doc_id, offset, span) rows, then one doc-partitioned `lead(text)`
+      * window picks each media span's successor. The oracle computes the
+      * same pairing directly from the splice arithmetic. Map-only +
+      * doc-partitioned window: no shuffle wider than one doc's spans at
+      * 100 TB (the window partitions by doc_id, and a doc's span count is
+      * bounded).
+      */
+    Op("q_caption_pairs",
+      """SELECT doc_id,
+        |  'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref,
+        |  CAST(doc_id % len(parts) AS BIGINT) AS pos,
+        |  parts[CAST(doc_id % len(parts) AS INT) + 1] AS caption
+        |FROM (SELECT doc_id, string_split(text, '. ') AS parts
+        |      FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val spans = Tables.documents(s, dir)
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), split(col("text"), "\\. ").as("parts"))
+        .select(col("doc_id"), expr(
+          """concat(
+            |  transform(slice(parts, 1, cast(doc_id % size(parts) as int)),
+            |    x -> named_struct('kind', 'text', 'text', x, 'media_ref', cast(null as string))),
+            |  array(named_struct('kind', 'image', 'text', cast(null as string),
+            |    'media_ref', concat('media://img/', cast(doc_id as string)))),
+            |  transform(slice(parts, cast(doc_id % size(parts) as int) + 1,
+            |      size(parts) - cast(doc_id % size(parts) as int)),
+            |    x -> named_struct('kind', 'text', 'text', x, 'media_ref', cast(null as string)))
+            |)""".stripMargin).as("spans"))
+        .select(col("doc_id"), posexplode(col("spans")).as(Seq("off", "sp")))
+      val w = Window.partitionBy("doc_id").orderBy("off")
+      spans
+        .withColumn("caption", lead(col("sp.text"), 1).over(w))
+        .where(col("sp.kind") === "image")
+        .select(col("doc_id"), col("sp.media_ref").as("media_ref"),
+          col("off").cast("bigint").as("pos"), col("caption"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -140,6 +140,53 @@ object SimilarityOps {
           round(cos, 4).as("cosine"), cos.as("cos_exact"))
         .orderBy(desc("cos_exact"), asc("vec_a"), asc("vec_b")).limit(20)
         .select(col("vec_a"), col("vec_b"), col("cid"), col("cosine"))
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep-one rule on top of
+    // the cell-bounded pair search: within each embedding cluster, a vector
+    // is DROPPED iff some smaller-id vector in the same cell sits above the
+    // cosine threshold (deterministic keeper = cluster-min id, the same
+    // keep-smallest convention as MinHash dedup). Reported as per-cell
+    // total/kept/dropped — one row per cell, verifying every per-row drop
+    // decision in aggregate. Same n²/nCells candidate bound as the pair
+    // query; the drop set is a narrow distinct + one left join.
+    Op("q_semdedup",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $nCellsDuck),
+         |assign AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT e.vec_id, c.cid, e.embedding,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckDotAB("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent c) WHERE rn = 1),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id FROM assign a
+         |  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${duckDotAB("a.embedding", "b.embedding")} /
+         |        (${duckNrm("a.embedding")} * ${duckNrm("b.embedding")}) >= 0.3)
+         |SELECT a.cid, CAST(count(*) AS BIGINT) AS total,
+         |       CAST(count(*) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS kept,
+         |       CAST(count(d.vec_id) AS BIGINT) AS dropped
+         |FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+         |GROUP BY a.cid ORDER BY a.cid""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
+      val e = Tables.embeddings(s, dir)
+      val cent = e.where(col("vec_id") < nCellsOf(e)).select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+      val assign = AnnIndex.assignTo(e, cent)
+        .select(col("vec_id"), col("cell").as("cid"), col("embedding"),
+          expr(nrm("embedding")).as("vnorm"))
+        .localCheckpoint(true) // barrier: pair join + report reuse ONE assignment pass
+      val a = assign.as("a"); val b = assign.as("b")
+      val cos = expr(s"${dotAB("a.embedding", "b.embedding")}") /
+        (col("a.vnorm") * col("b.vnorm"))
+      val drops = a.join(b, col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .where(cos >= 0.3)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      assign.join(drops.withColumn("is_drop", lit(1)), Seq("vec_id"), "left")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("total"),
+          count(when(col("is_drop").isNull, 1)).as("kept"),
+          count(col("is_drop")).as("dropped"))
+        .orderBy("cid")
     }
   )
 }

@@ -263,6 +263,37 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q_shuffle_shard: intra-shard order is a SHARD-partitioned window, scan pruned") {
+    val p = plan("q_shuffle_shard")
+    // the training-order rank must never be a global (unpartitioned) window —
+    // at corpus scale that is a single-partition sort of everything
+    assert("windowspecdefinition\\(shard".r.findFirstIn(p).isDefined,
+      s"shuffle order is not partitioned by shard:\n${p.take(4000)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(4000))
+  }
+
+  test("q_caption_pairs: doc-partitioned lead window, media filter pushed to the scan") {
+    val p = plan("q_caption_pairs")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p).isDefined, p.take(4000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(4000))
+  }
+
+  test("q_domain_mixture: map-only sampling — one scan, partial-agg'd mixture report") {
+    val p = plan("q_domain_mixture")
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(4000))
+    assert(p.contains("partial_count"), p.take(4000)) // map-side combine per domain
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q_semdedup: drop set via cell equi-join, never all-pairs") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // the pair search must join on the cell id (the n²/nCells bound); a
+    // BroadcastNestedLoopJoin over the vector table would be all-pairs
+    assert(!"BroadcastNestedLoopJoin".r.findFirstIn(
+      p.linesIterator.filterNot(_.contains("qvec")).mkString("\n")).isDefined, p.take(4000))
+  }
+
   private def withConfs[A](confs: Map[String, String])(f: => A): A = {
     val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
