@@ -20,6 +20,34 @@ object CorpusOps {
   private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
   private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
 
+  /** Mixture-admission columns (`target_ppm`, `mix_u`): a doc is admitted
+    * iff `mix_u < target_ppm`. Shared verbatim by `q_domain_mixture` and the
+    * deployed export job ([[graft.pipeline.ExportJob]]) so the two surfaces
+    * sample identically by construction. The rate table here is a
+    * deterministic function of the domain (suffix-proportional, capped at
+    * 1.0); production would join a learned weight table — the admission
+    * mechanics don't change.
+    */
+  def withMixture(docs: DataFrame): DataFrame = docs
+    .withColumn("target_ppm", least(lit(1000000L),
+      lit(50000L) * (lit(1L) + substring(col("source"), 4, 10).cast("bigint"))))
+    .withColumn("mix_u",
+      expr(h60Spark("cast(doc_id as string) || ':' || source")) % 1000000L)
+
+  /** Deterministic shard + intra-shard training order (`shard`, `pos`):
+    * ONE hash shuffle + per-shard window — never a global sort. Shared by
+    * `q_shuffle_shard` and the export job.
+    */
+  def withShardPos(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    docs
+      .withColumn("shard", expr(h60Spark("'shard:' || cast(doc_id as string)")) % nShards)
+      .withColumn("ord", expr(h60Spark("'ord:' || cast(doc_id as string)")))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .drop("ord")
+  }
+
   val ops: Seq[Op] = Seq(
 
     /** DoReMi/The-Pile-style static domain mixture: each source domain gets
@@ -44,14 +72,10 @@ object CorpusOps {
          |  (count(*) FILTER (WHERE u < target_ppm)) * 1000000 // count(*) AS actual_ppm
          |FROM rated GROUP BY source, target_ppm
          |ORDER BY source""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("source"),
-          least(lit(1000000L),
-            lit(50000L) * (lit(1L) + substring(col("source"), 4, 10).cast("bigint"))).as("target_ppm"),
-          (expr(h60Spark("cast(doc_id as string) || ':' || source")) % 1000000L).as("u"))
+      withMixture(Tables.documents(s, dir).select("doc_id", "source"))
         .groupBy(col("source"), col("target_ppm"))
         .agg(count(lit(1)).as("total"),
-          count(when(col("u") < col("target_ppm"), 1)).as("sampled"))
+          count(when(col("mix_u") < col("target_ppm"), 1)).as("sampled"))
         .select(col("source"), col("target_ppm"), col("total"), col("sampled"),
           expr("sampled * 1000000 div total").as("actual_ppm"))
         .orderBy("source")
@@ -75,13 +99,7 @@ object CorpusOps {
          |    ORDER BY ${h60Duck("'ord:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS pos
          |FROM documents
          |ORDER BY shard, pos""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("ord"), col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          (expr(h60Spark("'shard:' || cast(doc_id as string)")) % 8).as("shard"),
-          expr(h60Spark("'ord:' || cast(doc_id as string)")).as("ord"))
-        .withColumn("pos", row_number().over(w).cast("bigint"))
+      withShardPos(Tables.documents(s, dir).select("doc_id"), 8)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
     },
