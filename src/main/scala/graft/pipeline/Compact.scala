@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
   * previous crashed swap is rolled back before anything else runs. Every
   * state is thus recoverable by re-running the job.
   *
+  * CONCURRENCY: because of that absent-path window, the in-place swap is an
+  * OFFLINE maintenance job — a reader racing the swap can fail with
+  * path-not-found. Tables with always-on readers should live under a
+  * [[VersionedTable]] root instead, where [[VersionedTable.compact]]
+  * installs the rewrite as a new committed generation and readers never
+  * observe a missing or half-written path.
+  *
   * Row multiset is unchanged (parquet table semantics carry no row order);
   * `CompactionSpec` asserts content equality and the file-count drop.
   */
@@ -73,11 +80,37 @@ object Compact {
         s"compaction repair failed restoring $old to $dir — fix manually before re-running")
     fs.delete(new Path(tmp), true)
 
-    val before = dataFiles(spark, dir)
+    val (filesBefore, totalBytes) = rewrite(spark, dir, tmp, targetFileBytes, partitionBy)
+
+    // swap: old table aside, new table in, old table dropped
+    fs.delete(new Path(old), true)
+    if (!fs.rename(new Path(dir), new Path(old)))
+      sys.error(s"compaction swap failed renaming $dir aside; table untouched")
+    if (!fs.rename(new Path(tmp), new Path(dir))) {
+      fs.rename(new Path(old), new Path(dir)) // roll back
+      sys.error(s"compaction swap failed installing $tmp; original restored")
+    }
+    fs.delete(new Path(old), true)
+
+    Result(filesBefore, dataFiles(spark, dir).size, totalBytes)
+  }
+
+  /** Read `srcDir`, redistribute into ~target-sized files, write to
+    * `destDir`. Returns (source data-file count, source total bytes).
+    * Shared by the in-place swap above and the versioned install in
+    * [[VersionedTable.compact]].
+    */
+  private[pipeline] def rewrite(
+      spark: SparkSession,
+      srcDir: String,
+      destDir: String,
+      targetFileBytes: Long,
+      partitionBy: Seq[String]): (Int, Long) = {
+    val before = dataFiles(spark, srcDir)
     val totalBytes = before.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(srcDir)
     val compacted =
       if (partitionBy.isEmpty) df.repartition(nOut)
       else {
@@ -108,18 +141,10 @@ object Compact {
       }
 
     val w = compacted.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).parquet(tmp)
-
-    // swap: old table aside, new table in, old table dropped
-    fs.delete(new Path(old), true)
-    if (!fs.rename(new Path(dir), new Path(old)))
-      sys.error(s"compaction swap failed renaming $dir aside; table untouched")
-    if (!fs.rename(new Path(tmp), new Path(dir))) {
-      fs.rename(new Path(old), new Path(dir)) // roll back
-      sys.error(s"compaction swap failed installing $tmp; original restored")
-    }
-    fs.delete(new Path(old), true)
-
-    Result(before.size, dataFiles(spark, dir).size, totalBytes)
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)).parquet(destDir)
+    (before.size, totalBytes)
   }
+
+  private[pipeline] def countDataFiles(spark: SparkSession, dir: String): Int =
+    dataFiles(spark, dir).size
 }

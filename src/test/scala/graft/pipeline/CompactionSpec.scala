@@ -129,4 +129,80 @@ class CompactionSpec extends SparkTestBase {
     assert(files > 1, s"oversized partition compacted to a single writer file (files=$files)")
     assert(spark.read.parquet(dir).count() == 20000)
   }
+
+  test("versioned table: install commits generations, resolve tracks the tip, retention prunes") {
+    val root = Files.createTempDirectory("graft-vt").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    assert(VersionedTable.resolve(spark, root).isEmpty)
+    val g1 = VersionedTable.install(spark, root) { dest =>
+      spark.range(100).selectExpr("id AS doc_id").write.parquet(dest)
+    }
+    assert(VersionedTable.resolve(spark, root).contains(g1))
+    assert(VersionedTable.read(spark, root).count() == 100)
+
+    val g2 = VersionedTable.install(spark, root) { dest =>
+      spark.range(200).selectExpr("id AS doc_id").write.parquet(dest)
+    }
+    assert(VersionedTable.resolve(spark, root).contains(g2))
+    assert(VersionedTable.read(spark, root).count() == 200)
+    // keep=2: the PREVIOUS generation survives installation of the new one —
+    // a reader that resolved g1 before the install still reads it unharmed
+    assert(fs.exists(new org.apache.hadoop.fs.Path(g1)))
+    assert(spark.read.parquet(g1).count() == 100)
+
+    val g3 = VersionedTable.install(spark, root) { dest =>
+      spark.range(300).selectExpr("id AS doc_id").write.parquet(dest)
+    }
+    assert(VersionedTable.resolve(spark, root).contains(g3))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(g1)), "retention should drop g1 at keep=2")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(g2)))
+  }
+
+  test("versioned table: a crashed install (data, no marker) is invisible and swept") {
+    val root = Files.createTempDirectory("graft-vt-crash").toString + "/t"
+    val g1 = VersionedTable.install(spark, root) { dest =>
+      spark.range(50).selectExpr("id AS doc_id").write.parquet(dest)
+    }
+    // simulate a kill between data write and marker write: gen-2 data, no marker
+    val crashed = root + "/gen-00000002"
+    spark.range(999).selectExpr("id AS doc_id").write.parquet(crashed)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(crashed, "_committed"), false) // not written by writer; ensure absent
+    assert(VersionedTable.resolve(spark, root).contains(g1),
+      "uncommitted generation must not be resolvable")
+    assert(VersionedTable.read(spark, root).count() == 50)
+
+    // the next successful install burns gen-2's number and sweeps its debris
+    val g3 = VersionedTable.install(spark, root) { dest =>
+      spark.range(75).selectExpr("id AS doc_id").write.parquet(dest)
+    }
+    assert(g3.endsWith("gen-00000003"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(crashed)), "crashed debris should be swept")
+    assert(VersionedTable.read(spark, root).count() == 75)
+  }
+
+  test("versioned compaction: file count drops, rows preserved, old generation stays readable") {
+    val root = Files.createTempDirectory("graft-vt-compact").toString + "/t"
+    val g1 = VersionedTable.install(spark, root) { dest =>
+      spark.range(500).selectExpr("id AS doc_id", "repeat('z', 100) AS text")
+        .repartition(64).write.parquet(dest)
+    }
+    val before = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    val r = VersionedTable.compact(spark, root, targetFileBytes = 8L * 1024 * 1024)
+    assert(r.filesBefore == 64)
+    assert(r.filesAfter < 8, s"expected few output files, got ${r.filesAfter}")
+
+    val after = VersionedTable.read(spark, root)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == before)
+    // the reader-safety property the in-place swap cannot offer: the
+    // pre-compaction generation is still fully readable after the install
+    assert(spark.read.parquet(g1).count() == 500)
+    assert(VersionedTable.resolve(spark, root).exists(_ != g1))
+  }
 }
