@@ -263,11 +263,16 @@ object Bench {
     println(line)
     // the driver's stdout capture has truncated the line's head in past
     // rounds ("parsed": null) — also persist the identical JSON to a file
-    // so every round's full per-query record survives in the repo
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_results.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_results.json write failed: ${e.getMessage}")
+    // so every round's full per-query record survives in the repo.
+    // SPARK_GRAFT_BENCH_OUT anchors the path; without it a launcher with a
+    // foreign cwd (cron, CI) would drop the file somewhere unfindable.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
+    try {
+      java.nio.file.Files.writeString(outPath, line + "\n")
+      System.err.println(s"[bench] wrote ${outPath.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ${outPath.toAbsolutePath} write failed: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -17,8 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
-  private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+  import Idioms.{h60Spark, h60Duck}
 
   /** Mixture-admission columns (`target_ppm`, `mix_u`): a doc is admitted
     * iff `mix_u < target_ppm`. Shared verbatim by `q_domain_mixture` and the
@@ -105,12 +104,14 @@ object CorpusOps {
     },
 
     /** PageRank over a deterministic doc link graph (doc `id` links to
-      * (7·id+k) mod n for k = 1 .. 1+id%3, so out-degree varies 1-3 and
+      * (id+7k) mod n for k = 1 .. 1+id%3, so out-degree varies 1-3 and
       * in-degree varies with it — a regular graph would keep the uniform
-      * start vector a fixpoint and prove nothing; the k=1 stratum is a
-      * bijection, so every node keeps ≥1 in-link and none vanish from the
-      * propagation), standing in for a crawl's hyperlink table; 5
-      * synchronous iterations. Rank flows
+      * start vector a fixpoint and prove nothing; the k=1 stratum is the
+      * shift id→id+7 mod n, a bijection for EVERY n — a multiplicative
+      * stride like 7·id+k loses that whenever gcd(7, n) > 1, silently
+      * dropping 4/7 of the nodes from the propagation — so every node
+      * keeps ≥1 in-link and none vanish), standing in for a crawl's
+      * hyperlink table; 5 synchronous iterations. Rank flows
       * in exact integer micro-units — r'(v) = 0.15 + 0.85·Σ r(u)/deg(u)
       * becomes `150000 + (85 * Σ (r(u) // deg(u))) // 100` — because
       * floating-point PageRank sums in corpus order, and two engines (or two
@@ -134,7 +135,7 @@ object CorpusOps {
            |  JOIN deg d ON d.src = e.src
            |  GROUP BY e.dst)""".stripMargin
       s"""WITH edges AS (
-         |  SELECT doc_id AS src, (doc_id * 7 + t.k) % $n AS dst
+         |  SELECT doc_id AS src, (doc_id + 7 * t.k) % $n AS dst
          |  FROM documents, unnest([1, 2, 3]) AS t(k)
          |  WHERE t.k <= 1 + doc_id % 3),
          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
@@ -147,7 +148,7 @@ object CorpusOps {
       val n = docs.count()
       val edges = docs.select(col("doc_id"),
           explode(expr("sequence(1, cast(1 + doc_id % 3 as int))")).as("k"))
-        .select(col("doc_id").as("src"), ((col("doc_id") * 7 + col("k")) % n).as("dst"))
+        .select(col("doc_id").as("src"), ((col("doc_id") + col("k") * 7) % n).as("dst"))
         .localCheckpoint(true)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       var rank = docs.select(col("doc_id").as("node"), lit(1000000L).as("rank"))

@@ -19,12 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
-  private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
-
-  // word tokens, empties dropped (multi-space safe), both engines
-  private val toksSpark = "filter(split(text, ' '), t -> t <> '')"
-  private val toksDuck  = "list_filter(str_split(text, ' '), t -> t <> '')"
+  import Idioms.{h60Spark, h60Duck, toksSpark, toksDuck}
 
   // 3-gram word shingles — Spark side computed over a *staged* `toks`
   // column: inlining the split() into the lambda would re-evaluate it per
@@ -457,26 +452,11 @@ object DedupOps {
     // input skips the feature pass; a re-run against a refreshed or
     // different corpus recomputes instead of silently serving stale
     // features labeled as the new run.
-    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val docsFs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     // None = input not reachable (decommissioned after staging — the
     // resume-from-stage-alone case the kill/resume test exercises): trust
     // the committed marker. Some(ident) = input visible: a committed stage
     // is only reused if the identity matches what it was computed from.
-    val ident: Option[String] =
-      try {
-        // RECURSIVE listing: a partitioned documents.parquet keeps its data
-        // in subdirectories — a top-level-only listing would see nothing
-        // and the fingerprint would degenerate to a constant
-        val it = docsFs.listFiles(docsPath, true)
-        val parts = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile)
-            parts += s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
-        }
-        Some(s"$dir\n${parts.sorted.mkString("\n")}")
-      } catch { case _: java.io.FileNotFoundException => None }
+    val ident: Option[String] = graft.util.InputIdentity.of(s, dir)
     val staleOrMissing =
       if (!fs.exists(marker)) true
       else ident match {

@@ -57,12 +57,22 @@ object FeedbackOps {
   private val materialized = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def feedbackJsonl(s: SparkSession, dir: String): String =
-    materialized.computeIfAbsent(
+    materialized.compute(
       s.sparkContext.applicationId + "|" + dir,
-      _ => {
-        val path = s"/tmp/graft_feedback_jsonl/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
-        feedbackRows(s, dir).write.mode("overwrite").json(path)
-        path
+      (_, cached) => {
+        // revalidate a cached path: /tmp cleaners (systemd-tmpfiles) can
+        // reap it mid-session, and re-materializing self-heals where a
+        // stale cache entry would fail every later read with not-found
+        val exists = cached != null && {
+          val p = new org.apache.hadoop.fs.Path(cached)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+        }
+        if (exists) cached
+        else {
+          val path = s"/tmp/graft_feedback_jsonl/${s.sparkContext.applicationId}/${new java.io.File(dir).getName}"
+          feedbackRows(s, dir).write.mode("overwrite").json(path)
+          path
+        }
       })
 
   val ops: Seq[Op] = Seq(

@@ -10,8 +10,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysisOps {
 
-  private val toksSpark = "filter(split(text, ' '), t -> t <> '')"
-  private val toksDuck  = "list_filter(str_split(text, ' '), t -> t <> '')"
+  import Idioms.{h60Spark, h60Duck, toksSpark, toksDuck}
 
   // marker lists per language (n-gram heuristic; deterministic tie-break
   // en > fr > de via CASE order / greatest comparison order)
@@ -25,8 +24,6 @@ object TextAnalysisOps {
   private def scoreDuck(ws: Seq[String]) =
     s"len(list_filter($toksDuck, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
-  private def h60Spark(x: String) = s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
-  private def h60Duck(x: String)  = s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
 
   // PII patterns — identical semantics under Java regex and RE2: character
   // classes, bounded repetition and \b word boundaries only (no lookarounds,

@@ -40,10 +40,13 @@ object ExportJob {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     positioned
       .withColumn("n_tokens",
-        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as bigint)"))
+        expr(s"cast(size(${graft.operators.Idioms.toksSpark}) as bigint)"))
       .withColumn("cum", sum(col("n_tokens")).over(w).cast("bigint"))
       .select(col("shard"), col("pos"), col("doc_id"), col("source"), col("n_tokens"),
-        expr(s"cast(floor((cum - n_tokens) / $seqLen.0) as bigint)").as("seq_id"),
+        // integer div, not floor(x / y.0): cum is a per-shard running token
+        // count that can pass 2^53 at corpus scale, where double division
+        // starts rounding; div stays exact at any magnitude
+        expr(s"(cum - n_tokens) div $seqLen").as("seq_id"),
         ((col("cum") - col("n_tokens")) % seqLen).as("seq_offset"),
         col("text"))
   }

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * bytes); a present marker means the data committed and the run is a
   * no-op. The expensive stage (curation's tokenize/LSH/CC feature pass)
   * is NOT redone on resume — it sits behind its own durable staged table.
-  * Like every resumable main here, resuming assumes the input corpus is
-  * unchanged; a refreshed input invalidates the curation stage via its
-  * input-identity marker, which cascades into a fresh export.
+  * The done-marker records the INPUT DIGEST ([[graft.util.InputIdentity]])
+  * and the no-op check compares it: a refreshed corpus re-exports (and the
+  * curation stage re-runs via its own identity marker) instead of the
+  * bare marker short-circuiting into serving stale data.
   *
   *   spark-submit --class graft.pipeline.ExportMain <jar> \
   *     <inputSfDir> <outDir> [nShards]
@@ -45,10 +46,27 @@ object ExportMain {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$outDir/_export_done")
-    if (graft.util.Markers.read(fs, marker).isDefined) {
-      println(s"[export] $outDir already committed — no-op " +
-        s"(${graft.util.Markers.read(fs, marker).get})")
-      return
+    // The no-op check must see the INPUT IDENTITY, not just "done": a
+    // refreshed corpus has to cascade into a fresh export here — the
+    // curation stage's own identity check sits BEHIND this early return
+    // and can never fire if a bare done-marker short-circuits first.
+    val inputDigest = graft.util.InputIdentity.digestOf(spark, inDir)
+    graft.util.Markers.read(fs, marker) match {
+      case Some(recorded) =>
+        val recordedInput = recorded.split(' ').collectFirst {
+          case f if f.startsWith("input=") => f.stripPrefix("input=")
+        }
+        val sameInput = inputDigest match {
+          case None         => true // input decommissioned: the commit is the truth
+          case Some(digest) => recordedInput.contains(digest)
+        }
+        if (sameInput) {
+          println(s"[export] $outDir already committed — no-op ($recorded)")
+          return
+        }
+        println(s"[export] $outDir committed against a DIFFERENT input — re-exporting")
+        fs.delete(marker, false) // marker down before any rewrite starts
+      case None => ()
     }
     val (curated, _) = graft.operators.DedupOps
       .curationRunStaged(spark, inDir, s"$outDir/_stage/curation")
@@ -70,9 +88,11 @@ object ExportMain {
       .write.mode("overwrite").parquet(s"$outDir/summary")
     val totalDocs = rows.map(_.getLong(1)).sum
     val totalToks = rows.map(_.getLong(2)).sum
-    // marker LAST: its presence certifies data + summary are both durable
+    // marker LAST: its presence certifies data + summary are both durable;
+    // it records the input digest so a refreshed corpus invalidates it
     graft.util.Markers.write(fs, marker,
-      s"docs=$totalDocs tokens=$totalToks shards=${rows.length}")
+      s"input=${inputDigest.getOrElse("unknown")} " +
+        s"docs=$totalDocs tokens=$totalToks shards=${rows.length}")
     println(s"[export] committed: $totalDocs docs, $totalToks tokens, ${rows.length} shards")
   }
 }

@@ -131,7 +131,17 @@ object ExtractMain {
       if (st.isFile && st.getLen > 0 && !hidden(st.getPath)) {
         val in = fs.open(st.getPath)
         val buf = new Array[Byte](4)
-        val n = try in.read(buf) finally in.close()
+        // loop to 4 bytes: a single read() may legally return short at a
+        // packet/chunk boundary and misclassify a parquet file as unknown
+        val n = try {
+          var got = 0
+          var eof = false
+          while (got < 4 && !eof) {
+            val r = in.read(buf, got, 4 - got)
+            if (r < 0) eof = true else got += r
+          }
+          got
+        } finally in.close()
         if (n >= 4 && java.util.Arrays.equals(buf, "PAR1".getBytes("UTF-8")))
           return Some("parquet")
         if (n >= 1 && buf(0) == '{') return Some("jsonl")

@@ -217,13 +217,32 @@ object StreamingExtract {
         (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val arrived = rows.toIndexedSeq.sortBy(r => (r.ts.getTime, r.doc_id))
             val admittedSoFar = state.getOption.getOrElse(0L)
-            val admit = arrived.take(math.max(0L, maxPerWindow - admittedSoFar).toInt)
+            val remaining = math.max(0L, maxPerWindow - admittedSoFar).toInt
+            // Bounded selection, NOT a full materialize+sort: a hot-domain
+            // burst can deliver millions of rows for one key in a single
+            // micro-batch — exactly the case the cap exists for — and only
+            // `remaining` of them can be admitted. A max-heap of the
+            // current best `remaining` rows keyed by (ts, doc_id) admits
+            // the identical set in O(n log remaining) time and
+            // O(remaining) memory; overflow rows stream straight through
+            // the iterator and are dropped unbuffered.
+            implicit val ord: Ordering[CappedDoc] =
+              Ordering.by(r => (r.ts.getTime, r.doc_id))
+            val heap = scala.collection.mutable.PriorityQueue.empty[CappedDoc]
+            var windowEnd = 0L
+            rows.foreach { r =>
+              windowEnd = r.window_end.getTime
+              if (remaining > 0) {
+                if (heap.size < remaining) heap.enqueue(r)
+                else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+              }
+            }
+            val admit = heap.dequeueAll.reverse // ascending (ts, doc_id)
             state.update(admittedSoFar + admit.size)
             // rows of this key all share the window; timeout at its end —
             // the watermark passing it means no more rows can arrive
-            state.setTimeoutTimestamp(arrived.head.window_end.getTime)
+            state.setTimeoutTimestamp(windowEnd)
             admit.iterator
           }
       }

@@ -54,6 +54,19 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(ranks.sum <= n * 1000000L)
   }
 
+  test("q_pagerank edge rule: every node keeps an in-link even when 7 divides n") {
+    // regression: the original dst = (7·id+k) mod n only reaches residues
+    // {1,2,3} mod 7 when gcd(7, n) > 1, so 4/7 of the nodes silently drop
+    // out of the join-based propagation after round 1. The additive shift
+    // (id + 7k) mod n is a bijection in its k=1 stratum for EVERY n.
+    val n = 21L // 7 | n — the degenerate case for a multiplicative stride
+    val dst = spark.range(n).select(col("id"),
+        explode(expr("sequence(1, cast(1 + id % 3 as int))")).as("k"))
+      .select(((col("id") + col("k") * 7) % n).as("dst"))
+      .select("dst").distinct().as[Long].collect()
+    assert(dst.length == n, s"only ${dst.length}/$n nodes have in-links")
+  }
+
   test("q_caption_pairs: one pair per media doc; caption is the sentence after the splice point") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").as[(Long, String)].collect().toMap

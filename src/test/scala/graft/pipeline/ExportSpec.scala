@@ -83,4 +83,44 @@ class ExportSpec extends SparkTestBase {
     assert(signature() == sig, "resume after crash diverged from the clean run")
     assert(graft.util.Markers.read(fs, marker) == recorded)
   }
+
+  test("ExportMain.run: a refreshed input corpus invalidates a committed export") {
+    // private input copy so the test can change its identity
+    val inDir = Files.createTempDirectory("graft-export-in").toString
+    val fsIn = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsIn.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fsIn, new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet"),
+      fsIn, new org.apache.hadoop.fs.Path(s"$inDir/documents.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+
+    val outDir = Files.createTempDirectory("graft-export-refresh").toString
+    ExportMain.run(spark, inDir, outDir, nShards = 4)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_export_done")
+    val recorded = graft.util.Markers.read(fs, marker)
+    assert(recorded.exists(_.contains("input=")), recorded.toString)
+
+    // unchanged input: still a no-op
+    val sentinel = new org.apache.hadoop.fs.Path(s"$outDir/data/_sentinel")
+    fs.create(sentinel, true).close()
+    ExportMain.run(spark, inDir, outDir, nShards = 4)
+    assert(fs.exists(sentinel), "same-input resume should be a no-op")
+
+    // refreshed input (an mtime bump changes the file-metadata identity):
+    // the committed marker must NOT short-circuit — the export re-runs
+    val someFile = {
+      val it = fsIn.listFiles(new org.apache.hadoop.fs.Path(s"$inDir/documents.parquet"), true)
+      var p: org.apache.hadoop.fs.Path = null
+      while (it.hasNext) { val f = it.next(); if (f.isFile) p = f.getPath }
+      p
+    }
+    fsIn.setTimes(someFile, System.currentTimeMillis() + 60000, -1)
+    ExportMain.run(spark, inDir, outDir, nShards = 4)
+    assert(!fs.exists(sentinel), "refreshed input served a stale committed export")
+    val after = graft.util.Markers.read(fs, marker)
+    assert(after.isDefined && after != recorded, "marker should record the new input identity")
+  }
 }
