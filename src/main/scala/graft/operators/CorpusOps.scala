@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  import Idioms.{h60Spark, h60Duck}
+  import Idioms.{h60Spark, h60Duck, toksSpark, toksDuck}
 
   /** Mixture-admission columns (`target_ppm`, `mix_u`): a doc is admitted
     * iff `mix_u < target_ppm`. Shared verbatim by `q_domain_mixture` and the
@@ -162,6 +162,59 @@ object CorpusOps {
       }
       rank.select(col("node").as("doc_id"), col("rank").cast("bigint").as("rank_micro"))
         .orderBy(desc("rank_micro"), asc("doc_id")).limit(100)
+    },
+
+    /** Epoch/repeat planning for a token-budget training run (the
+      * Chinchilla-style question "how many passes over each domain?"):
+      * given per-domain available tokens and the domain's mixture weight,
+      * allocate a global token budget (here half the corpus) by weight and
+      * report each domain's repeat factor in exact micro-epochs, capped at
+      * 4 epochs (the over-sampling ceiling data-constrained scaling work
+      * uses). ONE partial-agg'd groupBy over the corpus + a broadcast of
+      * the two-scalar totals row; per-domain math is map-side.
+      *
+      * All arithmetic is exact-integer with overflow-safe decomposition:
+      * `(budget · w) / totW` is computed as
+      * `(budget/totW)·w + ((budget mod totW)·w)/totW` so no intermediate
+      * exceeds max(budget, totW·w) — a direct `budget · w` at 100 TB
+      * (budget ~2e13 tokens, w up to 1e6) would overflow int64; same
+      * decomposition for the epochs ratio.
+      */
+    Op("q_mixture_epochs",
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(sum(len($toksDuck)) AS BIGINT) AS available_tokens,
+         |    least(1000000, 50000 * (1 + CAST(substring(source, 4) AS BIGINT))) AS w
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(available_tokens) // 2 AS budget, sum(w) AS tot_w FROM per),
+         |alloc AS (
+         |  SELECT source, available_tokens, w,
+         |    (budget // tot_w) * w + ((budget % tot_w) * w) // tot_w AS desired_tokens
+         |  FROM per, tot)
+         |SELECT source, available_tokens, CAST(w AS BIGINT) AS target_ppm,
+         |  CAST(desired_tokens AS BIGINT) AS desired_tokens,
+         |  CAST(least(4000000,
+         |    (desired_tokens // available_tokens) * 1000000 +
+         |    ((desired_tokens % available_tokens) * 1000000) // available_tokens)
+         |    AS BIGINT) AS epochs_micro
+         |FROM alloc ORDER BY source""".stripMargin) { (s, dir) =>
+      val per = Tables.documents(s, dir)
+        .select(col("source"), expr(s"size($toksSpark)").cast("long").as("ntok"))
+        .groupBy("source").agg(sum(col("ntok")).as("available_tokens"))
+        .withColumn("w", least(lit(1000000L),
+          lit(50000L) * (lit(1L) + substring(col("source"), 4, 10).cast("bigint"))))
+      val tot = per.agg(expr("sum(available_tokens) div 2").as("budget"),
+        sum(col("w")).as("tot_w"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("desired_tokens",
+          expr("(budget div tot_w) * w + ((budget % tot_w) * w) div tot_w"))
+        .select(col("source"), col("available_tokens"), col("w").as("target_ppm"),
+          col("desired_tokens"),
+          least(lit(4000000L),
+            expr("(desired_tokens div available_tokens) * 1000000 + " +
+              "((desired_tokens % available_tokens) * 1000000) div available_tokens"))
+            .as("epochs_micro"))
+        .orderBy("source")
     }
   )
 }

@@ -777,6 +777,66 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // Keep-BEST-per-cluster — the canonical-representative rule a real
+    // curation run uses instead of keep-min-id: within each near-dup
+    // cluster, keep the highest-quality copy (mirrors of the same page
+    // differ in boilerplate residue, truncation, encoding damage — id
+    // order is arbitrary, quality order is not). Quality is the
+    // q_quality_score composite in EXACT integer micro units
+    // (length-capped word count + non-stopword ratio) so argmax ties
+    // break identically on both engines (doc_id asc). Spark side: the
+    // per-cluster argmax is ONE partial-agg'd max(struct) — no window, no
+    // per-cluster sort; at 100 TB it rides the same shuffle as the
+    // cluster-size count.
+    Op("q_dedup_keep_best",
+      s"""WITH RECURSIVE $sigDuckCte,
+         |bands AS (
+         |  $bandsDuckSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |       FROM documents WHERE len($toksDuck) >= 3),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |q AS (SELECT doc_id,
+         |        least(len($toksDuck), 100) * 7000 +
+         |        ((len($toksDuck) - len(list_filter($toksDuck, t -> t IN ('the', 'a')))) * 3000)
+         |          // len($toksDuck) AS qm
+         |      FROM documents),
+         |best AS (SELECT l.cluster, l.doc_id, q.qm,
+         |           row_number() OVER (PARTITION BY l.cluster ORDER BY q.qm DESC, l.doc_id) AS rn,
+         |           count(*) OVER (PARTITION BY l.cluster) AS n
+         |         FROM lbl l JOIN q USING (doc_id))
+         |SELECT CAST(cluster AS BIGINT) AS cluster, doc_id AS kept_doc,
+         |       CAST(qm AS BIGINT) AS quality_micro, CAST(n - 1 AS BIGINT) AS dropped
+         |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val labels = connectedComponents(verifiedPairsSpark(s, dir))
+      val q = Tables.documents(s, dir).select(col("doc_id"),
+        expr(s"least(size($toksSpark), 100) * 7000 + " +
+          s"((size($toksSpark) - size(filter($toksSpark, t -> t IN ('the', 'a')))) * 3000)" +
+          s" div size($toksSpark)").as("qm"))
+      labels.join(q, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("qm"), (-col("doc_id")).as("negid"))).as("best"))
+        .select(col("cluster").cast("long").as("cluster"),
+          (-col("best.negid")).as("kept_doc"),
+          col("best.qm").cast("long").as("quality_micro"),
+          (col("n") - 1).cast("long").as("dropped"))
+        .orderBy("cluster")
+    },
+
     // Paragraph-level exact dedup (the C4/RefinedWeb within-corpus rule:
     // drop repeated paragraphs/lines, keep the lowest-id occurrence). The
     // at-scale shape: explode docs to paragraphs (map-only, no synthesis

@@ -187,6 +187,53 @@ object SimilarityOps {
           count(when(col("is_drop").isNull, 1)).as("kept"),
           count(col("is_drop")).as("dropped"))
         .orderBy("cid")
+    },
+
+    /** Hard-negative mining for contrastive training: for each anchor
+      * vector, the top-5 most-cosine-similar vectors EXCLUDING the anchor
+      * itself and anything above 0.9 cosine (near-identical = a likely
+      * positive/duplicate, not a negative — the standard "semi-hard" band).
+      * Scale shape: anchors broadcast (a training batch is small), scoring
+      * is one map-only pass over the corpus, and the per-anchor top-5 uses
+      * the salted two-phase partial top-k (per-(anchor, salt) partial →
+      * per-anchor merge) — same pattern as q_topk_per_group, so no anchor's
+      * window ever sees the whole corpus.
+      */
+    Op("q_hard_negatives",
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id IN (0, 1, 2)),
+         |scored AS (
+         |  SELECT a.anchor_id, e.vec_id,
+         |    ${duckDotAB("e.embedding", "a.qv")} /
+         |    (${duckNrm("e.embedding")} * ${duckNrm("a.qv")}) AS cos
+         |  FROM embeddings e, a WHERE e.vec_id <> a.anchor_id),
+         |neg AS (
+         |  SELECT anchor_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id)
+         |         AS BIGINT) AS rnk
+         |  FROM scored WHERE cos < 0.9)
+         |SELECT anchor_id, rnk, vec_id, round(cos, 4) AS cosine
+         |FROM neg WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.ensure(s)
+      val e = Tables.embeddings(s, dir)
+      val anchors = e.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("qvec"))
+      val scored = e.crossJoin(broadcast(anchors))
+        .where(col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id"),
+          expr(s"${dotAB("embedding", "qvec")} / (${nrm("embedding")} * ${nrm("qvec")})")
+            .as("cos"))
+        .where(col("cos") < 0.9)
+      val local = scored
+        .groupBy(col("anchor_id"), pmod(xxhash64(col("vec_id")), lit(16L)).as("salt"))
+        .agg(expr("slice(array_sort(collect_list(struct(-cos AS negc, vec_id))), 1, 5)")
+          .as("top"))
+      local.groupBy(col("anchor_id"))
+        .agg(expr("slice(array_sort(flatten(collect_list(top))), 1, 5)").as("top"))
+        .select(col("anchor_id"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("anchor_id"), (col("i") + 1).cast("bigint").as("rnk"),
+          col("t.vec_id").as("vec_id"), round(-col("t.negc"), 4).as("cosine"))
+        .orderBy("anchor_id", "rnk")
     }
   )
 }

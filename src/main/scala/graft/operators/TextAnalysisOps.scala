@@ -769,6 +769,76 @@ object TextAnalysisOps {
           when(col("domain").isin(UrlBlocklist: _*), "blocked")
             .when(col("rn") > 5, "capped").otherwise("kept").as("status"))
         .orderBy("doc_id")
+    },
+
+    /** Token-length distribution in power-of-two buckets — the histogram a
+      * sequence-length / packing-efficiency decision reads (seq_len choice,
+      * truncation loss, padding waste). The bucket is the BIT LENGTH of the
+      * token count (length of its binary rendering = floor(log2)+1):
+      * exact integer on both engines where a float log2 would disagree at
+      * bucket boundaries. Map-only bucketing + a ~60-row groupBy.
+      */
+    Op("q_length_histogram",
+      s"""SELECT CAST(length(bin(len($toksDuck))) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(len($toksDuck)) AS BIGINT) AS total_tokens,
+         |  CAST(min(len($toksDuck)) AS BIGINT) AS min_tokens,
+         |  CAST(max(len($toksDuck)) AS BIGINT) AS max_tokens
+         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(expr(s"size($toksSpark)").cast("long").as("ntok"))
+        .groupBy(length(bin(col("ntok"))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("total_tokens"),
+          min(col("ntok")).as("min_tokens"), max(col("ntok")).as("max_tokens"))
+        .orderBy("bucket")
+    },
+
+    /** TF-IDF top terms per document over a 1-in-97 doc sample (keyword
+      * extraction / relevance features). Scale shape: document frequencies
+      * come from ONE token shuffle with map-side partial agg over the FULL
+      * corpus (the df table is corpus-global); term frequencies only for
+      * the sampled docs (the filter pushes to the scan); the tf side is
+      * the small side of the join, so AQE broadcasts it. idf in exact
+      * micro units — (N·1e6) div df stays within int64 to N = 9.2e12 docs
+      * — and the per-doc top-3 window partitions by doc_id (bounded by a
+      * doc's vocabulary, never corpus-global).
+      */
+    Op("q_tfidf_topk",
+      s"""WITH df AS (
+         |  SELECT tok, count(*) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct($toksDuck)) AS tok FROM documents)
+         |  GROUP BY tok),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksDuck) AS tok FROM documents WHERE doc_id % 97 = 0)
+         |  GROUP BY doc_id, tok),
+         |scored AS (
+         |  SELECT doc_id, tok,
+         |    tf * (((SELECT count(*) FROM documents) * 1000000) // df) AS score
+         |  FROM tf JOIN df USING (tok)),
+         |r AS (SELECT doc_id, tok, score,
+         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
+         |             AS BIGINT) AS rnk
+         |      FROM scored)
+         |SELECT doc_id, rnk, tok, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // parquet metadata read, not a scan
+      val df = docs
+        .select(col("doc_id"), explode(expr(s"array_distinct($toksSpark)")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val tf = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("tok"))
+      tf.join(df, "tok")
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * expr(s"${n}L * 1000000 div df")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+        .orderBy("doc_id", "rnk")
     }
   )
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-5 mining/planning operators (the
+  * DuckDB oracle checks cross-engine equality; these check the properties
+  * that make the answers RIGHT, not just reproducible).
+  */
+class MiningOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_hard_negatives: 5 per anchor, self and near-positives excluded, descending") {
+    val rows = q("q_hard_negatives")
+      .select("anchor_id", "rnk", "vec_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L))
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      assert(rs.length == 5, s"anchor $a expected 5 negatives")
+      assert(rs.map(_._2).sorted.toSeq == (1L to 5L), s"anchor $a ranks not dense")
+      assert(rs.forall(_._3 != a), s"anchor $a mined itself")
+      assert(rs.forall(_._4 < 0.9), s"anchor $a leaked a near-positive (cos >= 0.9)")
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y },
+        s"anchor $a cosines not descending")
+    }
+  }
+
+  test("q_mixture_epochs: budget conserved up to per-domain rounding, cap respected") {
+    val rows = q("q_mixture_epochs")
+      .select("source", "available_tokens", "target_ppm", "desired_tokens", "epochs_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail / 2
+    val desired = rows.map(_._4).sum
+    // each domain's integer allocation rounds down by < 1 token
+    assert(desired <= budget && desired > budget - rows.length,
+      s"allocated $desired of budget $budget across ${rows.length} domains")
+    rows.foreach { case (src, avail, ppm, des, em) =>
+      assert(em <= 4000000L, s"$src epochs above the 4-epoch cap")
+      assert(em >= 0L)
+      // below the cap the micro-epochs are exactly floor(des*1e6/avail)
+      if (em < 4000000L) {
+        val exact = (BigInt(des) * 1000000 / BigInt(avail)).toLong
+        assert(em == exact, s"$src epochs_micro $em != $exact")
+      }
+      assert(ppm >= 50000L && ppm <= 1000000L, s"$src target_ppm out of range")
+    }
+  }
+
+  test("q_length_histogram: partitions the corpus, bucket bounds are powers of two") {
+    val rows = q("q_length_histogram")
+      .select("bucket", "docs", "total_tokens", "min_tokens", "max_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "histogram lost or double-counted docs")
+    rows.foreach { case (b, docs, tot, mn, mx) =>
+      assert(mn <= mx && docs >= 1)
+      assert(tot >= docs * mn && tot <= docs * mx)
+      // bucket b holds counts with bit length b: [2^(b-1), 2^b - 1]
+      assert(mn >= (1L << (b - 1).toInt) || b == 1, s"bucket $b min $mn below range")
+      assert(mx < (1L << b.toInt), s"bucket $b max $mx above range")
+    }
+  }
+
+  test("q_tfidf_topk: exactly the sampled docs, ranks dense, scores tf*idf-consistent") {
+    val rows = q("q_tfidf_topk")
+      .select("doc_id", "rnk", "tok", "score")
+      .as[(Long, Long, String, Long)].collect()
+    val docs = Tables.documents(spark, sfDir)
+    val sampled = docs.where($"doc_id" % 97 === 0).select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == sampled, "rows not exactly the 1-in-97 sample")
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length), s"doc $d ranks not dense")
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._4).zip(byRank.tail.map(_._4)).forall { case (x, y) => x >= y },
+        s"doc $d scores not descending")
+    }
+    // spot-check one doc's top term against a from-first-principles recompute
+    val d0 = sampled.min
+    val text = docs.where($"doc_id" === d0).select("text").as[String].collect()(0)
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n = docs.count()
+    val dfMap = rows.filter(_._1 == d0).map(_._3).map { t =>
+      t -> docs.where(array_contains(split($"text", " "), t)).count()
+    }.toMap
+    val expected = rows.filter(_._1 == d0).map { case (_, _, t, _) =>
+      val tf = toks.count(_ == t).toLong
+      t -> tf * (n * 1000000L / dfMap(t))
+    }.toMap
+    rows.filter(_._1 == d0).foreach { case (_, _, t, score) =>
+      assert(score == expected(t), s"doc $d0 term $t score $score != ${expected(t)}")
+    }
+  }
+
+  test("q_dedup_keep_best: same clusters as q_dedup_clusters, keeper maximizes quality") {
+    val clusters = q("q_dedup_clusters")
+      .select("doc_id", "cluster").as[(Long, Long)].collect()
+    val best = q("q_dedup_keep_best")
+      .select("cluster", "kept_doc", "quality_micro", "dropped")
+      .as[(Long, Long, Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2)
+    assert(best.map(_._1).toSet == byCluster.keySet, "cluster sets disagree")
+
+    // recompute every member's quality and check the keeper is the argmax
+    val quality = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(
+        "least(size(filter(split(text, ' '), t -> t <> '')), 100) * 7000 + " +
+          "((size(filter(split(text, ' '), t -> t <> '')) - " +
+          "size(filter(split(text, ' '), t -> t IN ('the', 'a')))) * 3000) div " +
+          "size(filter(split(text, ' '), t -> t <> ''))"))
+      .as[(Long, Long)].collect().toMap
+    best.foreach { case (c, kept, qm, dropped) =>
+      val members = byCluster(c).map(_._1)
+      assert(members.contains(kept), s"cluster $c keeper $kept not a member")
+      assert(dropped == members.length - 1, s"cluster $c dropped count")
+      assert(qm == quality(kept), s"cluster $c keeper quality mismatch")
+      val maxQ = members.map(quality).max
+      assert(qm == maxQ, s"cluster $c kept quality $qm but max is $maxQ")
+      // deterministic tie-break: smallest id among the max-quality members
+      assert(kept == members.filter(quality(_) == maxQ).min, s"cluster $c tie-break")
+    }
+  }
+}

@@ -294,6 +294,45 @@ class PlanQualitySpec extends SparkTestBase {
       p.linesIterator.filterNot(_.contains("qvec")).mkString("\n")).isDefined, p.take(4000))
   }
 
+  test("q_hard_negatives: anchors broadcast, no cartesian, no corpus-wide window") {
+    val p = plan("q_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // the anchor join must be the broadcast nested-loop over the TINY side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(4000))
+    // per-anchor top-k is the salted two-phase partial agg, never a window
+    // whose partition is a whole anchor's corpus
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("partial_"), p.take(4000))
+  }
+
+  test("q_tfidf_topk: doc filter pushed to the tf scan, partial aggs, doc-partitioned window") {
+    val p = plan("q_tfidf_topk")
+    assert(p.contains("partial_count"), p.take(4000)) // map-side combine on both aggs
+    // the 1-in-97 sample filter reaches the parquet scan of the tf side
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)") || p.contains("(doc_id"),
+      p.take(4000))
+    // the only window partitions by doc_id (bounded by a doc's vocabulary)
+    val w = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(w.contains("doc_id"), w)
+  }
+
+  test("q_dedup_keep_best: per-cluster argmax is a partial-agg'd max(struct), no window") {
+    val p = plan("q_dedup_keep_best")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("partial_max") || p.contains("partial_"), p.take(4000))
+  }
+
+  test("q_length_histogram / q_mixture_epochs: map-only bucketing, partial aggs, tiny broadcast") {
+    val h = plan("q_length_histogram")
+    assert(h.contains("partial_count") && !h.contains("Window"), h.take(3000))
+    assert(h.contains("ReadSchema: struct<text:string>"), h.take(3000)) // only text read
+    val m = plan("q_mixture_epochs")
+    assert(m.contains("partial_sum"), m.take(3000))
+    assert(m.contains("BroadcastNestedLoopJoin") || m.contains("BroadcastExchange"),
+      m.take(3000)) // the two-scalar totals row broadcasts
+  }
+
   private def withConfs[A](confs: Map[String, String])(f: => A): A = {
     val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
