@@ -19,17 +19,27 @@ object CorpusOps {
 
   import Idioms.{h60Spark, h60Duck, toksSpark, toksDuck}
 
+  /** The per-domain mixture weight (target sampling rate in ppm, capped at
+    * 1.0) — ONE definition per engine, shared by `q_domain_mixture`,
+    * `q_mixture_epochs`, and [[withMixture]]: a weighting change that
+    * edits one consumer but not the others would silently decouple the
+    * epoch plan from the mixture it allocates against. Deterministic
+    * function of the domain suffix here; production joins a learned
+    * weight table — the consumers don't change.
+    */
+  private[graft] def domainWeightCol: org.apache.spark.sql.Column =
+    least(lit(1000000L),
+      lit(50000L) * (lit(1L) + substring(col("source"), 4, 10).cast("bigint")))
+  private[graft] val domainWeightDuck =
+    "least(1000000, 50000 * (1 + CAST(substring(source, 4) AS BIGINT)))"
+
   /** Mixture-admission columns (`target_ppm`, `mix_u`): a doc is admitted
     * iff `mix_u < target_ppm`. Shared verbatim by `q_domain_mixture` and the
     * deployed export job ([[graft.pipeline.ExportJob]]) so the two surfaces
-    * sample identically by construction. The rate table here is a
-    * deterministic function of the domain (suffix-proportional, capped at
-    * 1.0); production would join a learned weight table — the admission
-    * mechanics don't change.
+    * sample identically by construction.
     */
   def withMixture(docs: DataFrame): DataFrame = docs
-    .withColumn("target_ppm", least(lit(1000000L),
-      lit(50000L) * (lit(1L) + substring(col("source"), 4, 10).cast("bigint"))))
+    .withColumn("target_ppm", domainWeightCol)
     .withColumn("mix_u",
       expr(h60Spark("cast(doc_id as string) || ':' || source")) % 1000000L)
 
@@ -62,7 +72,7 @@ object CorpusOps {
     Op("q_domain_mixture",
       s"""WITH rated AS (
          |  SELECT source,
-         |    least(1000000, 50000 * (1 + CAST(substring(source, 4) AS BIGINT))) AS target_ppm,
+         |    $domainWeightDuck AS target_ppm,
          |    ${h60Duck("CAST(doc_id AS VARCHAR) || ':' || source")} % 1000000 AS u
          |  FROM documents)
          |SELECT source, target_ppm,
@@ -173,18 +183,24 @@ object CorpusOps {
       * uses). ONE partial-agg'd groupBy over the corpus + a broadcast of
       * the two-scalar totals row; per-domain math is map-side.
       *
-      * All arithmetic is exact-integer with overflow-safe decomposition:
+      * All arithmetic is exact-integer with overflow-safe decomposition
+      * (DuckDB would silently save us in HUGEINT; Spark would silently
+      * WRAP — the decomposition keeps both engines exact AND equal):
       * `(budget · w) / totW` is computed as
       * `(budget/totW)·w + ((budget mod totW)·w)/totW` so no intermediate
       * exceeds max(budget, totW·w) — a direct `budget · w` at 100 TB
-      * (budget ~2e13 tokens, w up to 1e6) would overflow int64; same
-      * decomposition for the epochs ratio.
+      * (budget ~2e13 tokens, w up to 1e6) would overflow int64. The
+      * epochs ratio `(desired·1e6)/avail` needs TWO stages — the
+      * remainder can be ~avail, so even `remainder·1e6` wraps; splitting
+      * 1e6 into 1e3·1e3 via the exact identity
+      * `⌊r·10⁶/a⌋ = ⌊r·10³/a⌋·10³ + ⌊(r·10³ mod a)·10³/a⌋` keeps every
+      * intermediate ≤ a·10³ (int64-safe to ~9e15 tokens per domain).
       */
     Op("q_mixture_epochs",
       s"""WITH per AS (
          |  SELECT source,
          |    CAST(sum(len($toksDuck)) AS BIGINT) AS available_tokens,
-         |    least(1000000, 50000 * (1 + CAST(substring(source, 4) AS BIGINT))) AS w
+         |    $domainWeightDuck AS w
          |  FROM documents GROUP BY source),
          |tot AS (SELECT sum(available_tokens) // 2 AS budget, sum(w) AS tot_w FROM per),
          |alloc AS (
@@ -195,14 +211,15 @@ object CorpusOps {
          |  CAST(desired_tokens AS BIGINT) AS desired_tokens,
          |  CAST(least(4000000,
          |    (desired_tokens // available_tokens) * 1000000 +
-         |    ((desired_tokens % available_tokens) * 1000000) // available_tokens)
+         |    (((desired_tokens % available_tokens) * 1000) // available_tokens) * 1000 +
+         |    ((((desired_tokens % available_tokens) * 1000) % available_tokens) * 1000)
+         |      // available_tokens)
          |    AS BIGINT) AS epochs_micro
          |FROM alloc ORDER BY source""".stripMargin) { (s, dir) =>
       val per = Tables.documents(s, dir)
         .select(col("source"), expr(s"size($toksSpark)").cast("long").as("ntok"))
         .groupBy("source").agg(sum(col("ntok")).as("available_tokens"))
-        .withColumn("w", least(lit(1000000L),
-          lit(50000L) * (lit(1L) + substring(col("source"), 4, 10).cast("bigint"))))
+        .withColumn("w", domainWeightCol)
       val tot = per.agg(expr("sum(available_tokens) div 2").as("budget"),
         sum(col("w")).as("tot_w"))
       per.crossJoin(broadcast(tot))
@@ -212,7 +229,9 @@ object CorpusOps {
           col("desired_tokens"),
           least(lit(4000000L),
             expr("(desired_tokens div available_tokens) * 1000000 + " +
-              "((desired_tokens % available_tokens) * 1000000) div available_tokens"))
+              "(((desired_tokens % available_tokens) * 1000) div available_tokens) * 1000 + " +
+              "((((desired_tokens % available_tokens) * 1000) % available_tokens) * 1000)" +
+              " div available_tokens"))
             .as("epochs_micro"))
         .orderBy("source")
     }

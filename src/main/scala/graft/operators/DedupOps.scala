@@ -21,6 +21,24 @@ object DedupOps {
 
   import Idioms.{h60Spark, h60Duck, toksSpark, toksDuck}
 
+  /** `q_quality_score`'s composite in EXACT integer micro units (×1e6),
+    * defined ONCE for both engines: 0.7·min(words,100)/100 becomes
+    * min(words,100)·7000 and 0.3·(1−stops/words) becomes
+    * ((words−stops)·300000) div words. bigint throughout on the Spark
+    * side — size() is 32-bit Int and (words−stops)·300000 wraps past
+    * ~7k tokens. `MiningOpsSpec` cross-checks the micro value against the
+    * double-valued `TextAnalysisOps.qualityOverToks` definition.
+    */
+  private[graft] val qualityMicroSpark =
+    s"least(cast(size($toksSpark) as bigint), 100) * 7000 + " +
+      s"((cast(size($toksSpark) as bigint) - " +
+      s"cast(size(filter($toksSpark, t -> t IN ('the', 'a'))) as bigint)) * 300000) " +
+      s"div cast(size($toksSpark) as bigint)"
+  private val qualityMicroDuck =
+    s"least(len($toksDuck), 100) * 7000 + " +
+      s"((len($toksDuck) - len(list_filter($toksDuck, t -> t IN ('the', 'a')))) * 300000) " +
+      s"// len($toksDuck)"
+
   // 3-gram word shingles — Spark side computed over a *staged* `toks`
   // column: inlining the split() into the lambda would re-evaluate it per
   // array element (O(L²) per doc; measured 13-23s vs <2s at sf0.1).
@@ -809,11 +827,7 @@ object DedupOps {
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
          |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
-         |q AS (SELECT doc_id,
-         |        least(len($toksDuck), 100) * 7000 +
-         |        ((len($toksDuck) - len(list_filter($toksDuck, t -> t IN ('the', 'a')))) * 3000)
-         |          // len($toksDuck) AS qm
-         |      FROM documents),
+         |q AS (SELECT doc_id, $qualityMicroDuck AS qm FROM documents),
          |best AS (SELECT l.cluster, l.doc_id, q.qm,
          |           row_number() OVER (PARTITION BY l.cluster ORDER BY q.qm DESC, l.doc_id) AS rn,
          |           count(*) OVER (PARTITION BY l.cluster) AS n
@@ -823,9 +837,7 @@ object DedupOps {
          |FROM best WHERE rn = 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
       val labels = connectedComponents(verifiedPairsSpark(s, dir))
       val q = Tables.documents(s, dir).select(col("doc_id"),
-        expr(s"least(size($toksSpark), 100) * 7000 + " +
-          s"((size($toksSpark) - size(filter($toksSpark, t -> t IN ('the', 'a')))) * 3000)" +
-          s" div size($toksSpark)").as("qm"))
+        expr(qualityMicroSpark).as("qm"))
       labels.join(q, "doc_id")
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),

@@ -799,9 +799,14 @@ object TextAnalysisOps {
       * corpus (the df table is corpus-global); term frequencies only for
       * the sampled docs (the filter pushes to the scan); the tf side is
       * the small side of the join, so AQE broadcasts it. idf in exact
-      * micro units — (N·1e6) div df stays within int64 to N = 9.2e12 docs
-      * — and the per-doc top-3 window partitions by doc_id (bounded by a
-      * doc's vocabulary, never corpus-global).
+      * micro units: the idf factor (N·1e6) div df is int64-safe to
+      * N = 9.2e12 docs, and the score product additionally needs
+      * tf·(N·1e6/df) ≤ 9.2e18 — binding only for a df≈1 token repeated in
+      * one doc at trillion-doc scale, where the engines fail DIFFERENTLY
+      * (DuckDB raises on BIGINT overflow, Spark wraps), so a deployment
+      * past that frontier must drop the idf scale or cap tf. The per-doc
+      * top-3 window partitions by doc_id (bounded by a doc's vocabulary,
+      * never corpus-global).
       */
     Op("q_tfidf_topk",
       s"""WITH df AS (

@@ -105,14 +105,27 @@ class MiningOpsSpec extends SparkTestBase {
     val byCluster = clusters.groupBy(_._2)
     assert(best.map(_._1).toSet == byCluster.keySet, "cluster sets disagree")
 
-    // recompute every member's quality and check the keeper is the argmax
+    // recompute every member's quality INDEPENDENTLY: from raw token
+    // counts in plain Scala (not the implementation's SQL), so a wrong
+    // weight constant in the op cannot self-certify here
     val quality = Tables.documents(spark, sfDir)
-      .select($"doc_id", expr(
-        "least(size(filter(split(text, ' '), t -> t <> '')), 100) * 7000 + " +
-          "((size(filter(split(text, ' '), t -> t <> '')) - " +
-          "size(filter(split(text, ' '), t -> t IN ('the', 'a')))) * 3000) div " +
-          "size(filter(split(text, ' '), t -> t <> ''))"))
-      .as[(Long, Long)].collect().toMap
+      .select($"doc_id", $"text").as[(Long, String)].collect().map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val stops = toks.count(t => t == "the" || t == "a")
+        id -> (math.min(toks.length, 100).toLong * 7000L +
+          ((toks.length - stops).toLong * 300000L) / toks.length)
+      }.toMap
+    // ... and anchor the micro weights to the ONE quality definition the
+    // engine documents (TextAnalysisOps.qualityOverToks): micro/1e6 must
+    // track the double-valued composite to integer-truncation error
+    val composite = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select($"doc_id", TextAnalysisOps.qualityOverToks.as("q"))
+      .as[(Long, Double)].collect().toMap
+    quality.foreach { case (id, qm) =>
+      assert(math.abs(qm / 1e6 - composite(id)) < 1e-3,
+        s"doc $id micro-quality $qm drifts from the qualityOverToks composite ${composite(id)}")
+    }
     best.foreach { case (c, kept, qm, dropped) =>
       val members = byCluster(c).map(_._1)
       assert(members.contains(kept), s"cluster $c keeper $kept not a member")

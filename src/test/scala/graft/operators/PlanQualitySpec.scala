@@ -306,12 +306,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_"), p.take(4000))
   }
 
-  test("q_tfidf_topk: doc filter pushed to the tf scan, partial aggs, doc-partitioned window") {
+  test("q_tfidf_topk: sample filter below the explode, partial aggs, doc-partitioned window") {
     val p = plan("q_tfidf_topk")
     assert(p.contains("partial_count"), p.take(4000)) // map-side combine on both aggs
-    // the 1-in-97 sample filter reaches the parquet scan of the tf side
-    assert(p.contains("PushedFilters: [IsNotNull(doc_id)") || p.contains("(doc_id"),
-      p.take(4000))
+    // the 1-in-97 sample filter sits directly on the tf-side scan — i.e.
+    // BEFORE the token explode, so the Generate never sees unsampled docs.
+    // (A modulo predicate can't become a parquet PushedFilter; "pushed"
+    // here means filter-under-Generate.) Physical plans print top-down, so
+    // the % 97 Filter line must be followed within a few lines by the scan.
+    val lines = p.linesIterator.toSeq
+    val fi = lines.indexWhere(l => l.contains("% 97") && l.contains("Filter"))
+    assert(fi >= 0, p.take(4000))
+    assert(lines.slice(fi, fi + 4).exists(_.contains("Scan parquet")),
+      lines.slice(fi, fi + 6).mkString("\n"))
     // the only window partitions by doc_id (bounded by a doc's vocabulary)
     val w = p.linesIterator.filter(_.contains("Window")).mkString("\n")
     assert(w.contains("doc_id"), w)
