@@ -222,6 +222,27 @@ class StreamingSpec extends SparkTestBase {
     assert(domains == Set("hot.example.com"))
   }
 
+  test("streaming per-domain rate cap: admission is by (ts, doc_id), not arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, String)]
+    val df = stream.toDS().toDF("ts", "doc_id", "url")
+    val q = StreamingExtract.domainRateCapStream(df, maxPerWindow = 2,
+        watermark = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("domain_cap_order").outputMode("append").start()
+    // one burst, deliberately arriving LATEST-first: the bounded-heap
+    // selection must admit the two event-time-earliest docs, exactly the
+    // set a full sort of the burst would have picked (replay determinism)
+    stream.addData(
+      (Timestamp.valueOf("2024-01-01 10:04:00"), "late2", "https://burst.example.com/d"),
+      (Timestamp.valueOf("2024-01-01 10:03:00"), "late1", "https://burst.example.com/c"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "early2", "https://burst.example.com/b"),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "early1", "https://burst.example.com/a"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("domain_cap_order").select("doc_id").as[String].collect().toSet
+    assert(kept == Set("early1", "early2"), s"kept=$kept")
+  }
+
   test("streaming index sink: micro-batches append to the persisted IVF index") {
     implicit val sqlCtx = spark.sqlContext
     val emb = graft.operators.Tables.embeddings(spark, sfDir)
