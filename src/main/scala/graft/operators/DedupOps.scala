@@ -849,6 +849,52 @@ object DedupOps {
         .orderBy("cluster")
     },
 
+    // Duplication-rate-by-domain report — the diagnostic a curation run
+    // reads before tuning per-source policy (mirror-heavy domains get
+    // aggressive dedup/caps, clean domains don't pay for it). A doc counts
+    // as duplicated iff it belongs to any verified near-dup cluster.
+    // Scale shape: the cluster-member id table is tiny next to the corpus
+    // (only docs in clusters), so the left join broadcasts under AQE; then
+    // ONE partial-agg'd groupBy over ~|domains| rows. Exact-integer ppm.
+    Op("q_dup_rate_by_domain",
+      s"""WITH RECURSIVE $sigDuckCte,
+         |bands AS (
+         |  $bandsDuckSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |       FROM documents WHERE len($toksDuck) >= 3),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
+         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
+         |dup AS (
+         |  -- explicit DISTINCT over UNION ALL, not `A UNION B`: inside a
+         |  -- WITH RECURSIVE list DuckDB gives a union-bodied CTE the
+         |  -- recursive-union semantics and does NOT dedup across branches
+         |  -- (harmless for the `edges` CTE above — `reach` dedups — but
+         |  -- fatal here, where a doc in both branches would double-count)
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs))
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS total,
+         |  CAST(count(u.doc_id) AS BIGINT) AS dup_docs,
+         |  (count(u.doc_id) * 1000000) // count(*) AS dup_ppm
+         |FROM documents d LEFT JOIN dup u ON u.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val dupIds = verifiedPairsSpark(s, dir)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(dupIds.withColumn("isdup", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("total"), count(col("isdup")).as("dup_docs"))
+        .select(col("source"), col("total"), col("dup_docs"),
+          expr("dup_docs * 1000000 div total").as("dup_ppm"))
+        .orderBy("source")
+    },
+
     // Paragraph-level exact dedup (the C4/RefinedWeb within-corpus rule:
     // drop repeated paragraphs/lines, keep the lowest-id occurrence). The
     // at-scale shape: explode docs to paragraphs (map-only, no synthesis

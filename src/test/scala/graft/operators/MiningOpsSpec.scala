@@ -96,6 +96,21 @@ class MiningOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_dup_rate_by_domain: partitions the corpus, dup set agrees with the cluster table") {
+    val rows = q("q_dup_rate_by_domain")
+      .select("source", "total", "dup_docs", "dup_ppm")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == Tables.documents(spark, sfDir).count())
+    rows.foreach { case (src, total, dups, ppm) =>
+      assert(dups >= 0 && dups <= total, s"$src dup_docs out of range")
+      assert(ppm == dups * 1000000 / total, s"$src ppm arithmetic")
+    }
+    // cross-check the total duplicated-doc count against the cluster table
+    val clustered = q("q_dedup_clusters").select("doc_id").distinct().count()
+    assert(rows.map(_._3).sum == clustered, "dup set disagrees with q_dedup_clusters")
+    assert(rows.map(_._3).sum > 0, "degenerate input: no duplicates at all")
+  }
+
   test("q_dedup_keep_best: same clusters as q_dedup_clusters, keeper maximizes quality") {
     val clusters = q("q_dedup_clusters")
       .select("doc_id", "cluster").as[(Long, Long)].collect()
