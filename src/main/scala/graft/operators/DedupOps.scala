@@ -34,7 +34,7 @@ object DedupOps {
       s"((cast(size($toksSpark) as bigint) - " +
       s"cast(size(filter($toksSpark, t -> t IN ('the', 'a'))) as bigint)) * 300000) " +
       s"div cast(size($toksSpark) as bigint)"
-  private val qualityMicroDuck =
+  private[graft] val qualityMicroDuck =
     s"least(len($toksDuck), 100) * 7000 + " +
       s"((len($toksDuck) - len(list_filter($toksDuck, t -> t IN ('the', 'a')))) * 300000) " +
       s"// len($toksDuck)"
@@ -920,6 +920,48 @@ object DedupOps {
       paras.groupBy(md5(col("para")).as("para_hash"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
         .orderBy("para_hash")
+    },
+
+    // Cross-document n-gram novelty — the incremental-crawl curation signal
+    // (a re-crawled page whose shingles all appeared in earlier docs adds
+    // nothing to the corpus; drop or down-weight it). Per doc: the fraction
+    // of its distinct 3-gram shingles FIRST seen in this doc, i.e. whose
+    // corpus-wide min(doc_id) is this doc. At-scale shape: per-doc shingle
+    // counts are MAP-ONLY (size of the distinct array, no explode); the
+    // first-seen table is ONE shuffle on the 60-bit shingle HASH (narrow
+    // fixed-width key like q_paragraph_dedup, never the string) with
+    // map-side partial min; its per-doc rollup and the final join are
+    // doc_id-keyed — all narrow. A 60-bit hash collision merges two
+    // shingles' first-seen (undercounts novelty by <1 shingle per ~10^9
+    // distinct shingles) — identical on both engines, so exactness of the
+    // oracle compare is unaffected. Exact-integer ppm.
+    Op("q_ngram_novelty",
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($shinglesDuck) AS sh
+         |  FROM documents WHERE len($toksDuck) >= 3),
+         |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |f AS (SELECT ${h60Duck("g")} AS gh, min(doc_id) AS fd FROM s GROUP BY gh),
+         |nov AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS novel FROM f GROUP BY fd)
+         |SELECT p.doc_id, CAST(len(p.sh) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(nov.novel, 0) AS BIGINT) AS novel,
+         |  CAST(coalesce(nov.novel, 0) * 1000000 // len(p.sh) AS BIGINT) AS novel_ppm
+         |FROM sh p LEFT JOIN nov USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def staged = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr("size(toks) >= 3"))
+        .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
+      val novel = staged
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), expr(h60Spark("g")).as("gh"))
+        .groupBy("gh").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+      staged
+        .select(col("doc_id"), expr("cast(size(sh) as bigint)").as("n_shingles"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          expr("cast(coalesce(novel, 0) as bigint)").as("novel"),
+          expr("cast(coalesce(novel, 0) * 1000000 div n_shingles as bigint)").as("novel_ppm"))
+        .orderBy("doc_id")
     },
 
     // The full corpus-curation pipeline, composed end-to-end — the chain a

@@ -33,6 +33,13 @@ object TextAnalysisOps {
   private val PhonePat = """\b555-[0-9]{4}\b"""
   private val Ipv4Pat  = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
+  /** Vocabulary size for `q_oov_rate`. The testdata corpus has exactly 31
+    * distinct tokens, so K=16 covers the frequency head while leaving a
+    * real OOV tail to measure (K ≥ 31 would make the statistic identically
+    * zero and the operator untestable).
+    */
+  private[graft] val OovVocabK = 16
+
   /** Domains dropped by the URL curation stage (batch `q_url_curation` and
     * the streaming gate share this one list).
     */
@@ -844,6 +851,89 @@ object TextAnalysisOps {
         .where(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
         .orderBy("doc_id", "rnk")
+    },
+
+    /** Per-source ADAPTIVE quality gate (the FineWeb/RefinedWeb refinement
+      * of a single global threshold: each source is filtered against its
+      * OWN quality distribution, so a boilerplate-heavy source doesn't
+      * swallow the global budget and a clean source isn't over-pruned).
+      * Threshold = the source's discrete lower median of the shared
+      * integer micro-quality (`DedupOps.qualityMicroSpark`, the same score
+      * keep-best dedup ranks by). At-scale shape: the distribution is
+      * compressed to (source, qm) COUNTS first — ONE partial-agg'd shuffle
+      * whose output is bounded by the score space (≤ ~3·10^7 rows per
+      * source), never the corpus; the cumulative/median windows run over
+      * that tiny table only; thresholds (one row per source) broadcast
+      * back; the gate itself is map-side. All-integer arithmetic.
+      */
+    Op("q_domain_quality_gate",
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${DedupOps.qualityMicroDuck} AS qm
+         |  FROM documents WHERE len($toksDuck) > 0),
+         |c AS (SELECT source, qm, count(*) AS c FROM q GROUP BY source, qm),
+         |cum AS (SELECT source, qm,
+         |          sum(c) OVER (PARTITION BY source ORDER BY qm) AS cum,
+         |          sum(c) OVER (PARTITION BY source) AS total
+         |        FROM c),
+         |thr AS (SELECT source, min(qm) AS thr
+         |        FROM cum WHERE cum >= (total + 1) // 2 GROUP BY source)
+         |SELECT q.doc_id, q.source, CAST(q.qm AS BIGINT) AS qm,
+         |  CAST(t.thr AS BIGINT) AS thr,
+         |  CAST(CASE WHEN q.qm >= t.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM q JOIN thr t USING (source) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def q = Tables.documents(s, dir)
+        .where(expr(s"size($toksSpark) > 0"))
+        .select(col("doc_id"), col("source"),
+          expr(DedupOps.qualityMicroSpark).as("qm"))
+      val counts = q.groupBy("source", "qm").agg(count(lit(1)).as("c"))
+      val thr = counts
+        .withColumn("cum", sum(col("c")).over(Window.partitionBy("source").orderBy("qm")))
+        .withColumn("total", sum(col("c")).over(Window.partitionBy("source")))
+        .where(expr("cum >= (total + 1) div 2"))
+        .groupBy("source").agg(min(col("qm")).as("thr"))
+      q.join(broadcast(thr), Seq("source"))
+        .select(col("doc_id"), col("source"), col("qm"), col("thr"),
+          when(col("qm") >= col("thr"), 1L).otherwise(0L).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    /** Out-of-vocabulary rate under the corpus top-K word vocabulary — the
+      * tokenizer-coverage / rare-token signal (a doc that is mostly OOV
+      * under the frequency vocab is word salad, OCR noise, or the wrong
+      * language; the same per-doc statistic drives vocab-size choice).
+      * Vocabulary = top-K tokens by collection frequency with the
+      * deterministic (cf DESC, tok ASC) tie-break on both engines.
+      * At-scale shape: the vocab derivation is ONE partial-agg'd token
+      * shuffle + TakeOrdered (you'd persist this table once per corpus
+      * snapshot); the vocab then BROADCASTS (K rows) so the per-doc OOV
+      * count is an explode + broadcast probe + ONE doc_id-keyed partial
+      * agg — the corpus-sized side never shuffles on the token. Exact ppm.
+      */
+    Op("q_oov_rate",
+      s"""WITH cf AS (
+         |  SELECT tok, count(*) AS cf
+         |  FROM (SELECT unnest($toksDuck) AS tok FROM documents) GROUP BY tok),
+         |vocab AS (SELECT tok FROM cf ORDER BY cf DESC, tok LIMIT $OovVocabK),
+         |t AS (SELECT doc_id, unnest($toksDuck) AS tok FROM documents)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS words,
+         |  CAST(count(*) - count(v.tok) AS BIGINT) AS oov,
+         |  CAST((count(*) - count(v.tok)) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+         |FROM t LEFT JOIN vocab v ON t.tok = v.tok
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toksSpark)).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+        .orderBy(desc("cf"), asc("tok")).limit(OovVocabK)
+        .select(col("tok"), lit(1).as("iv"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("words"), count(col("iv")).as("in_vocab"))
+        .select(col("doc_id"), col("words"),
+          (col("words") - col("in_vocab")).as("oov"),
+          expr("cast((words - in_vocab) * 1000000 div words as bigint)").as("oov_ppm"))
+        .orderBy("doc_id")
     }
   )
 }

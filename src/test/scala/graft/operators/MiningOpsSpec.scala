@@ -111,6 +111,67 @@ class MiningOpsSpec extends SparkTestBase {
     assert(rows.map(_._3).sum > 0, "degenerate input: no duplicates at all")
   }
 
+  test("q_domain_quality_gate: threshold is each source's plain-Scala lower median") {
+    val rows = q("q_domain_quality_gate")
+      .select("doc_id", "source", "qm", "thr", "kept")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length, "a doc gated twice")
+    rows.foreach { case (id, _, qm, thr, kept) =>
+      assert(kept == (if (qm >= thr) 1L else 0L), s"doc $id kept flag disagrees with thr")
+    }
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      // discrete lower median: 1-indexed position (n+1)/2 of the sorted scores
+      val sorted = rs.map(_._3).sorted
+      val expected = sorted((sorted.length + 1) / 2 - 1)
+      assert(rs.head._4 == expected, s"$src threshold ${rs.head._4} != median $expected")
+      val keptN = rs.count(_._5 == 1L)
+      assert(keptN * 2 >= rs.length, s"$src kept fewer than half") // median property
+    }
+    // a 2-doc source keeps both (its lower median IS its min), but across
+    // the corpus the gate must actually drop something
+    assert(rows.exists(_._5 == 0L), "gate is degenerate: nothing dropped anywhere")
+  }
+
+  test("q_oov_rate: matches a from-first-principles Scala recompute of vocab and counts") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def toks(t: String) = t.split(' ').filter(_.nonEmpty)
+    val cf = docs.flatMap(d => toks(d._2)).groupBy(identity).view.mapValues(_.length.toLong)
+    val vocab = cf.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysisOps.OovVocabK).map(_._1).toSet
+    val expected = docs.filter(d => toks(d._2).nonEmpty).map { case (id, t) =>
+      val ws = toks(t); val oov = ws.count(w => !vocab.contains(w)).toLong
+      (id, ws.length.toLong, oov, oov * 1000000L / ws.length)
+    }.sortBy(_._1).toSeq
+    val got = q("q_oov_rate")
+      .select("doc_id", "words", "oov", "oov_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.exists(_._3 > 0), "degenerate corpus: nothing is ever OOV")
+  }
+
+  test("q_ngram_novelty: every distinct shingle hash is novel in exactly one doc") {
+    val rows = q("q_ngram_novelty")
+      .select("doc_id", "n_shingles", "novel", "novel_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    rows.foreach { case (id, n, novel, ppm) =>
+      assert(novel >= 0 && novel <= n, s"doc $id novel out of range")
+      assert(ppm == novel * 1000000L / n, s"doc $id ppm arithmetic")
+    }
+    // the earliest doc can owe nothing to predecessors
+    assert(rows.head._3 == rows.head._2, "earliest doc not fully novel")
+    // partition property: each distinct shingle hash is first-seen exactly once
+    val distinctHashes = Tables.documents(spark, sfDir)
+      .selectExpr("filter(split(text, ' '), t -> t <> '') as toks")
+      .where("size(toks) >= 3")
+      .selectExpr("explode(array_distinct(transform(sequence(1, size(toks) - 2)," +
+        " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)," +
+        " element_at(toks, i + 2))))) as g")
+      .selectExpr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) as gh")
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctHashes, "novel counts don't partition the shingle set")
+  }
+
   test("q_dedup_keep_best: same clusters as q_dedup_clusters, keeper maximizes quality") {
     val clusters = q("q_dedup_clusters")
       .select("doc_id", "cluster").as[(Long, Long)].collect()

@@ -340,6 +340,45 @@ class PlanQualitySpec extends SparkTestBase {
       m.take(3000)) // the two-scalar totals row broadcasts
   }
 
+  test("q_domain_quality_gate: distribution compressed before the windows, thresholds broadcast") {
+    val p = plan("q_domain_quality_gate")
+    // the (source, qm) count agg has map-side combine — the corpus never
+    // reaches the cumulative windows
+    assert(p.contains("partial_count"), p.take(4000))
+    // windows run over the compressed counts only: every Window line sits
+    // BELOW (after, in top-down print order) the aggregate that built them
+    val lines = p.linesIterator.toSeq
+    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
+    val firstWin = lines.indexWhere(_.contains("Window"))
+    assert(firstWin >= 0 && firstAgg >= 0 && firstWin > firstAgg,
+      lines.take(40).mkString("\n"))
+    // the per-source threshold row joins back as a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // scan pruned to the three referenced columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      p.take(4000))
+  }
+
+  test("q_oov_rate: vocab top-k fused, probe side broadcast, per-doc agg partial") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000)) // vocab top-K, no global sort
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))     // vocab probes broadcast
+    assert(p.contains("partial_count"), p.take(4000))         // doc-keyed agg combines map-side
+    assert(!p.contains("Window"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))        // corpus never shuffles on tok
+  }
+
+  test("q_ngram_novelty: first-seen agg is partial_min on the hash, no all-pairs") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("partial_min"), p.take(4000))  // map-side combine on the shingle hash
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    // per-doc totals are map-only (array size), never a second explode:
+    // exactly one Generate in the whole plan
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1, p.take(4000))
+  }
+
   private def withConfs[A](confs: Map[String, String])(f: => A): A = {
     val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
