@@ -946,10 +946,19 @@ object DedupOps {
          |  CAST(coalesce(nov.novel, 0) AS BIGINT) AS novel,
          |  CAST(coalesce(nov.novel, 0) * 1000000 // len(p.sh) AS BIGINT) AS novel_ppm
          |FROM sh p LEFT JOIN nov USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def staged = Tables.documents(s, dir)
+      // Aggregate barrier (the sigSpark pattern), here for a SECOND reason
+      // beyond scan reuse: the explode below synthesizes a
+      // `size(sh) > 0 AND isnotnull(sh)` pre-filter that Spark pushes
+      // through bare Projects, alias-INLINING the whole tokenize→shingle
+      // chain into the predicate — with element_at(filter(split(text)), i)
+      // re-evaluated per array element that's O(L²) per doc (measured 6.1s
+      // vs 1.3s at sf0.1). The barrier stops the pushdown AND lets both
+      // consumers (first-seen explode, map-only size) reuse ONE scan.
+      val staged = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
         .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
+        .groupBy(col("doc_id")).agg(first(col("sh")).as("sh"))
       val novel = staged
         .select(col("doc_id"), explode(col("sh")).as("g"))
         .select(col("doc_id"), expr(h60Spark("g")).as("gh"))
