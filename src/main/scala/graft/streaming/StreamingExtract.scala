@@ -173,6 +173,23 @@ object StreamingExtract {
     graft.operators.TextAnalysisOps.withCanonUrl(docs, urlCol)
       .where(!col("domain").isin(graft.operators.TextAnalysisOps.UrlBlocklist: _*))
 
+  /** [[urlFilterStream]] with the blocklist as a TABLE instead of a
+    * compiled-in literal — the deployment shape: abuse/takedown blocklists
+    * are maintained out-of-band (thousands of domains, refreshed by their
+    * own pipeline) and the stream must pick them up on restart without a
+    * redeploy. A stream-static LEFT ANTI join; the static side is
+    * broadcast, so the gate stays a map-side probe per micro-batch — the
+    * unbounded stream never shuffles. Expects a `domain` column holding
+    * registrable domains in the same form `withCanonUrl` derives (no
+    * scheme/userinfo/port/`www.`); rows probing a NULL domain (unparseable
+    * URL) pass the anti-join — the gate drops LISTED domains, it is not a
+    * validity filter.
+    */
+  def blocklistTableGateStream(
+      docs: DataFrame, blocklist: DataFrame, urlCol: String = "url"): DataFrame =
+    graft.operators.TextAnalysisOps.withCanonUrl(docs, urlCol)
+      .join(broadcast(blocklist.select(col("domain"))), Seq("domain"), "left_anti")
+
   /** One admitted doc after the per-domain-per-window cap. */
   final case class CappedDoc(domain: String, window_start: Timestamp,
       window_end: Timestamp, ts: Timestamp, doc_id: String, canon_url: String)

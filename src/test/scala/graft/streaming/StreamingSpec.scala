@@ -188,6 +188,27 @@ class StreamingSpec extends SparkTestBase {
       ("u5", "https://ok.example.net/p?href=b&id=2", "ok.example.net")))
   }
 
+  test("streaming URL gate against a TABLE blocklist: stream-static anti join, null domains pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val blocklist = Seq("site13.example.com", "evil.example.org").toDF("domain")
+    val stream = MemoryStream[(String, String)]
+    val df = stream.toDS().toDF("doc_id", "url")
+    val q = StreamingExtract.blocklistTableGateStream(df, blocklist)
+      .writeStream.format("memory").queryName("table_gate").outputMode("append").start()
+    stream.addData(
+      ("t1", "https://WWW.Site13.Example.COM/a?id=1"), // listed (case/www-insensitive)
+      ("t2", "https://keep.example.net/b"),
+      ("t3", "not a url at all"))                      // null domain: passes, not a validity gate
+    q.processAllAvailable()
+    stream.addData(                                    // second micro-batch probes the same static side
+      ("t4", "http://evil.example.org:8080/c"),        // listed, port-stripped
+      ("t5", "https://keep.example.net/d"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("table_gate").select("doc_id").as[String].collect().sorted.toSeq
+    assert(kept == Seq("t2", "t3", "t5"))
+  }
+
   test("streaming per-domain rate cap: doc N+1 in-window dropped across micro-batches, next window passes") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, String)]
