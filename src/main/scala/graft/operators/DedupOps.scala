@@ -1195,6 +1195,62 @@ object DedupOps {
           when(col("dup_tokens") * 5 >= col("total_toks") * 4, "drop")
             .otherwise("strip").as("action"))
         .orderBy("doc_id")
+    },
+
+    // APPLY the substring removal rule — the transform a curation run
+    // actually executes over the coverage report: docs ≥ 80% duplicated
+    // are dropped (empty output, the Lee et al. action), the rest have the
+    // covered token spans CUT and the text reassembled (canonical
+    // single-space join over the surviving tokens — the pipeline's own
+    // token definition, so downstream token counts agree by construction),
+    // untouched docs pass through. At-scale shape: covered positions
+    // explode from the (tiny) run table and group into ONE per-doc
+    // position array (bounded by doc length, never corpus-wide); the
+    // rebuild is a map-only array filter+transform after a doc_id-keyed
+    // left join. Output is ALL eligible docs, so the result is directly
+    // writable as the cleaned corpus.
+    Op("q_substring_strip",
+      s"""WITH $substringRunsDuckCtes,
+         |kcovpos AS (
+         |  SELECT DISTINCT doc_b AS doc_id, p AS tok
+         |  FROM kruns, LATERAL unnest(generate_series(pos_b, pos_b + run_len - 1)) v(p)),
+         |kcov AS (SELECT doc_id, list(tok ORDER BY tok) AS cov
+         |         FROM kcovpos GROUP BY doc_id),
+         |kept AS (
+         |  SELECT t.doc_id, c.cov, t.toks,
+         |    list_transform(list_filter(generate_series(1, len(t.toks)),
+         |      i -> c.cov IS NULL OR NOT list_contains(c.cov, i - 1)),
+         |      i -> t.toks[i]) AS kt2
+         |  FROM kt t LEFT JOIN kcov c USING (doc_id))
+         |SELECT doc_id,
+         |  CASE WHEN cov IS NULL THEN 'keep'
+         |       WHEN len(cov) * 5 >= len(toks) * 4 THEN 'drop'
+         |       ELSE 'strip' END AS action,
+         |  CAST(CASE WHEN cov IS NOT NULL AND len(cov) * 5 >= len(toks) * 4
+         |       THEN 0 ELSE len(kt2) END AS BIGINT) AS kept_tokens,
+         |  CASE WHEN cov IS NOT NULL AND len(cov) * 5 >= len(toks) * 4
+         |       THEN '' ELSE array_to_string(kt2, ' ') END AS text_out
+         |FROM kept ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cov = substringRunsSpark(s, dir)
+        .select(col("doc_b").as("doc_id"),
+          explode(sequence(col("pos_b"), col("pos_b") + col("run_len") - 1)).as("tok"))
+        .distinct()
+        .groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("cov"))
+      val isDrop = col("cov").isNotNull &&
+        expr("size(cov)") * 5 >= expr("size(toks)") * 4
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(toksSpark).as("toks"))
+        .where(expr(s"size(toks) >= $SubK"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("kt2", expr("transform(filter(sequence(1, size(toks))," +
+          " i -> cov IS NULL OR NOT array_contains(cov, cast(i - 1 as bigint)))," +
+          " i -> element_at(toks, i))"))
+        .select(col("doc_id"),
+          when(col("cov").isNull, "keep").when(isDrop, "drop")
+            .otherwise("strip").as("action"),
+          when(isDrop, 0L).otherwise(expr("cast(size(kt2) as bigint)")).as("kept_tokens"),
+          when(isDrop, "").otherwise(expr("array_join(kt2, ' ')")).as("text_out"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -172,6 +172,36 @@ class MiningOpsSpec extends SparkTestBase {
     assert(rows.map(_._3).sum == distinctHashes, "novel counts don't partition the shingle set")
   }
 
+  test("q_substring_strip: agrees with the coverage report, cuts exactly the covered spans") {
+    val cov = q("q_substring_coverage")
+      .select("doc_id", "dup_tokens", "total_tokens", "action")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(cov.nonEmpty, "degenerate corpus: no substring coverage at all")
+    val toksOf = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(' ').filter(_.nonEmpty) }.toMap
+    val rows = q("q_substring_strip")
+      .select("doc_id", "action", "kept_tokens", "text_out")
+      .as[(Long, String, Long, String)].collect()
+    // the eligible universe is exactly the >= SubK-token docs
+    assert(rows.length == toksOf.count(_._2.length >= 8))
+    rows.foreach { case (id, action, kept, text) =>
+      cov.get(id) match {
+        case None =>
+          assert(action == "keep", s"doc $id uncovered but $action")
+          assert(text == toksOf(id).mkString(" "), s"doc $id rewritten without coverage")
+          assert(kept == toksOf(id).length)
+        case Some((_, dup, total, covAction)) =>
+          assert(action == covAction, s"doc $id action disagrees with coverage report")
+          if (action == "drop") assert(kept == 0 && text.isEmpty, s"doc $id drop not empty")
+          else {
+            assert(kept == total - dup, s"doc $id kept != total - dup")
+            assert(text.split(' ').count(_.nonEmpty) == kept, s"doc $id text/count mismatch")
+          }
+      }
+    }
+  }
+
   test("q_dedup_keep_best: same clusters as q_dedup_clusters, keeper maximizes quality") {
     val clusters = q("q_dedup_clusters")
       .select("doc_id", "cluster").as[(Long, Long)].collect()
