@@ -243,6 +243,25 @@ object DedupOps {
         col("run_len").cast("bigint").as("run_len"))
   }
 
+  /** Covered token positions per duplicated doc — `(doc_id, tok)` with tok
+    * 0-based, one row per position inside any ≥[[SubMinRun]] run whose
+    * keeper is a lower-id doc. ONE copy shared by `q_substring_coverage`
+    * and `q_substring_strip`: the strip op's correctness contract is
+    * agreement with the coverage report, so a one-sided edit here (e.g. an
+    * off-by-one on run_len) must be impossible by construction.
+    */
+  private def substringCoveredSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    substringRunsSpark(s, dir)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("pos_b"), col("pos_b") + col("run_len") - 1)).as("tok"))
+      .distinct()
+
+  /** DuckDB twin of [[substringCoveredSpark]] (reads `kruns`; emits `kcovpos`). */
+  private def substringCoveredDuckCte: String =
+    s"""kcovpos AS (
+       |  SELECT DISTINCT doc_b AS doc_id, p AS tok
+       |  FROM kruns, LATERAL unnest(generate_series(pos_b, pos_b + run_len - 1)) v(p))""".stripMargin
+
   /** DuckDB twin of [[substringRunsSpark]] — CTE chain ending in `kruns`
     * (the winnowing formulation mirrors the q_winnow oracle, w=[[SubW]]).
     */
@@ -281,35 +300,54 @@ object DedupOps {
        |  HAVING max(pa) - min(pa) + $SubK >= $SubMinRun)""".stripMargin
   }
 
-  /** The curation pipeline's CTE chain, shared by the `q_curation_pipeline`
-    * and `q_curation_funnel` oracles (callers prepend WITH RECURSIVE).
+  /** Verified near-dup pair CTE chain — `sig → bands → cand → sh →
+    * pairs(doc_a, doc_b, jaccard)` — the DuckDB twin of
+    * [[verifiedPairsSpark]], factored to ONE copy: five oracles read the
+    * pair table (pipeline, clusters, keep-best, dup-rate, curation), and a
+    * threshold or band tweak applied to fewer than all of them would
+    * silently desynchronize an oracle from the Spark side it checks.
     */
-  private def curationDuckCtes: String =
+  private def verifiedPairsDuckCtes: String =
     s"""$sigDuckCte,
        |bands AS (
        |  $bandsDuckSql),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       |shs AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
-       |        FROM documents WHERE len($toksDuck) >= 3),
+       |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
+       |       FROM documents WHERE len($toksDuck) >= 3),
        |pairs AS (
-       |  SELECT c.doc_a, c.doc_b
-       |  FROM cand c JOIN shs x ON x.doc_id = c.doc_a JOIN shs y ON y.doc_id = c.doc_b
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 4) AS jaccard
+       |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
-       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** Connected-components labeling over `pairs` — `edges → reach →
+    * lbl(doc_id, cluster)`. `reach` recurses, so callers must open with
+    * WITH RECURSIVE.
+    */
+  private def ccLblDuckCtes: String =
+    s"""edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
        |          UNION SELECT doc_b, doc_a FROM pairs),
        |reach(u, v) AS (
        |  SELECT u, v FROM edges
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-       |dup_drops AS (
-       |  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u),
-       |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE doc_id % 97 = 0),
+       |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)""".stripMargin
+
+  /** The curation pipeline's CTE chain, shared by the `q_curation_pipeline`
+    * and `q_curation_funnel` oracles (callers prepend WITH RECURSIVE).
+    */
+  private def curationDuckCtes: String =
+    s"""$verifiedPairsDuckCtes,
+       |$ccLblDuckCtes,
+       |dup_drops AS (SELECT doc_id FROM lbl WHERE cluster <> doc_id),
+       |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
        |contaminated AS (
        |  SELECT DISTINCT t.doc_id
-       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs WHERE doc_id % 97 <> 0) t
+       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 97 <> 0) t
        |  JOIN bench b ON b.shingle = t.shingle),
        |scored AS (
        |  SELECT doc_id, lang,
@@ -735,21 +773,9 @@ object DedupOps {
     // This is the at-scale shape: the quadratic step only ever touches the
     // LSH candidate pairs, and verification joins shingle sets by doc_id.
     Op("q_dedup_pipeline",
-      s"""WITH $sigDuckCte,
-         |bands AS (
-         |  $bandsDuckSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
-         |       FROM documents WHERE len($toksDuck) >= 3)
-         |SELECT c.doc_a AS keeper, c.doc_b AS dup,
-         |       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |             CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 4) AS jaccard
-         |FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
-         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
-         |ORDER BY keeper, dup""".stripMargin) { (s, dir) =>
+      s"""WITH $verifiedPairsDuckCtes
+         |SELECT doc_a AS keeper, doc_b AS dup, jaccard
+         |FROM pairs ORDER BY keeper, dup""".stripMargin) { (s, dir) =>
       verifiedPairsSpark(s, dir)
         .select(col("doc_a").as("keeper"), col("doc_b").as("dup"), col("jaccard"))
         .orderBy("keeper", "dup")
@@ -764,26 +790,8 @@ object DedupOps {
     // oracle: recursive transitive closure — fine at oracle scale, never
     // the Spark shape.
     Op("q_dedup_clusters",
-      s"""WITH RECURSIVE $sigDuckCte,
-         |bands AS (
-         |  $bandsDuckSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
-         |       FROM documents WHERE len($toksDuck) >= 3),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
-         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+      s"""WITH RECURSIVE $verifiedPairsDuckCtes,
+         |$ccLblDuckCtes
          |SELECT l.doc_id, l.cluster, CAST(n.sz AS BIGINT) AS cluster_size
          |FROM lbl l JOIN (SELECT cluster, count(*) AS sz FROM lbl GROUP BY cluster) n
          |  ON n.cluster = l.cluster
@@ -807,26 +815,8 @@ object DedupOps {
     // per-cluster sort; at 100 TB it rides the same shuffle as the
     // cluster-size count.
     Op("q_dedup_keep_best",
-      s"""WITH RECURSIVE $sigDuckCte,
-         |bands AS (
-         |  $bandsDuckSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
-         |       FROM documents WHERE len($toksDuck) >= 3),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
-         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
-         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+      s"""WITH RECURSIVE $verifiedPairsDuckCtes,
+         |$ccLblDuckCtes,
          |q AS (SELECT doc_id, $qualityMicroDuck AS qm FROM documents),
          |best AS (SELECT l.cluster, l.doc_id, q.qm,
          |           row_number() OVER (PARTITION BY l.cluster ORDER BY q.qm DESC, l.doc_id) AS rn,
@@ -857,25 +847,14 @@ object DedupOps {
     // (only docs in clusters), so the left join broadcasts under AQE; then
     // ONE partial-agg'd groupBy over ~|domains| rows. Exact-integer ppm.
     Op("q_dup_rate_by_domain",
-      s"""WITH RECURSIVE $sigDuckCte,
-         |bands AS (
-         |  $bandsDuckSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sh
-         |       FROM documents WHERE len($toksDuck) >= 3),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b
-         |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5),
+      s"""WITH $verifiedPairsDuckCtes,
          |dup AS (
          |  -- explicit DISTINCT over UNION ALL, not `A UNION B`: inside a
          |  -- WITH RECURSIVE list DuckDB gives a union-bodied CTE the
          |  -- recursive-union semantics and does NOT dedup across branches
-         |  -- (harmless for the `edges` CTE above — `reach` dedups — but
-         |  -- fatal here, where a doc in both branches would double-count)
+         |  -- (harmless for the shared `edges` CTE — `reach` dedups — but
+         |  -- fatal here, where a doc in both branches would double-count;
+         |  -- this query is plain WITH today, the form is kept defensive)
          |  SELECT DISTINCT doc_id FROM (
          |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs))
          |SELECT d.source, CAST(count(*) AS BIGINT) AS total,
@@ -1168,21 +1147,16 @@ object DedupOps {
     // otherwise. The 80% gate is exact-integer (5·dup ≥ 4·total).
     Op("q_substring_coverage",
       s"""WITH $substringRunsDuckCtes,
-         |kcover AS (
-         |  SELECT DISTINCT doc_b AS doc_id, p AS tok
-         |  FROM kruns, LATERAL unnest(generate_series(pos_b, pos_b + run_len - 1)) v(p))
+         |$substringCoveredDuckCte
          |SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
          |       CAST(count(*) AS BIGINT) AS dup_tokens,
          |       CAST(len(t.toks) AS BIGINT) AS total_tokens,
          |       round(CAST(count(*) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE), 4) AS dup_pct,
          |       CASE WHEN count(*) * 5 >= len(t.toks) * 4 THEN 'drop' ELSE 'strip' END AS action
-         |FROM kcover c JOIN kt t USING (doc_id)
+         |FROM kcovpos c JOIN kt t USING (doc_id)
          |GROUP BY c.doc_id, len(t.toks)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val cover = substringRunsSpark(s, dir)
-        .select(col("doc_b").as("doc_id"),
-          explode(sequence(col("pos_b"), col("pos_b") + col("run_len") - 1)).as("tok"))
-        .distinct()
+      val cover = substringCoveredSpark(s, dir)
       val totals = Tables.documents(s, dir)
         .select(col("doc_id"), expr(s"size($toksSpark)").as("total_toks"))
         .where(col("total_toks") >= SubK)
@@ -1203,25 +1177,27 @@ object DedupOps {
     // covered token spans CUT and the text reassembled (canonical
     // single-space join over the surviving tokens — the pipeline's own
     // token definition, so downstream token counts agree by construction),
-    // untouched docs pass through. At-scale shape: covered positions
-    // explode from the (tiny) run table and group into ONE per-doc
-    // position array (bounded by doc length, never corpus-wide); the
+    // untouched docs pass through. The base is EVERY doc with ≥ 1 token —
+    // not just the ≥ SubK-token docs the run detector can see — so the
+    // output really is the full cleaned corpus (short docs pass as
+    // 'keep'); only zero-token docs are omitted (nothing to reassemble).
+    // At-scale shape: covered positions explode from the (tiny) run table
+    // and group into ONE per-doc position array (bounded by doc length,
+    // never corpus-wide; membership-probed only, so unordered); the
     // rebuild is a map-only array filter+transform after a doc_id-keyed
-    // left join. Output is ALL eligible docs, so the result is directly
-    // writable as the cleaned corpus.
+    // left join.
     Op("q_substring_strip",
       s"""WITH $substringRunsDuckCtes,
-         |kcovpos AS (
-         |  SELECT DISTINCT doc_b AS doc_id, p AS tok
-         |  FROM kruns, LATERAL unnest(generate_series(pos_b, pos_b + run_len - 1)) v(p)),
-         |kcov AS (SELECT doc_id, list(tok ORDER BY tok) AS cov
-         |         FROM kcovpos GROUP BY doc_id),
+         |$substringCoveredDuckCte,
+         |kcov AS (SELECT doc_id, list(tok) AS cov FROM kcovpos GROUP BY doc_id),
+         |allt AS (SELECT doc_id, $toksDuck AS toks FROM documents
+         |         WHERE len($toksDuck) >= 1),
          |kept AS (
          |  SELECT t.doc_id, c.cov, t.toks,
          |    list_transform(list_filter(generate_series(1, len(t.toks)),
          |      i -> c.cov IS NULL OR NOT list_contains(c.cov, i - 1)),
          |      i -> t.toks[i]) AS kt2
-         |  FROM kt t LEFT JOIN kcov c USING (doc_id))
+         |  FROM allt t LEFT JOIN kcov c USING (doc_id))
          |SELECT doc_id,
          |  CASE WHEN cov IS NULL THEN 'keep'
          |       WHEN len(cov) * 5 >= len(toks) * 4 THEN 'drop'
@@ -1231,16 +1207,13 @@ object DedupOps {
          |  CASE WHEN cov IS NOT NULL AND len(cov) * 5 >= len(toks) * 4
          |       THEN '' ELSE array_to_string(kt2, ' ') END AS text_out
          |FROM kept ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val cov = substringRunsSpark(s, dir)
-        .select(col("doc_b").as("doc_id"),
-          explode(sequence(col("pos_b"), col("pos_b") + col("run_len") - 1)).as("tok"))
-        .distinct()
-        .groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("cov"))
+      val cov = substringCoveredSpark(s, dir)
+        .groupBy("doc_id").agg(collect_set(col("tok")).as("cov"))
       val isDrop = col("cov").isNotNull &&
         expr("size(cov)") * 5 >= expr("size(toks)") * 4
       Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))
-        .where(expr(s"size(toks) >= $SubK"))
+        .where(expr("size(toks) >= 1"))
         .join(cov, Seq("doc_id"), "left")
         .withColumn("kt2", expr("transform(filter(sequence(1, size(toks))," +
           " i -> cov IS NULL OR NOT array_contains(cov, cast(i - 1 as bigint)))," +

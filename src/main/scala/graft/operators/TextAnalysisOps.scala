@@ -33,12 +33,17 @@ object TextAnalysisOps {
   private val PhonePat = """\b555-[0-9]{4}\b"""
   private val Ipv4Pat  = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
 
-  /** Vocabulary size for `q_oov_rate`. The testdata corpus has exactly 31
-    * distinct tokens, so K=16 covers the frequency head while leaving a
-    * real OOV tail to measure (K ≥ 31 would make the statistic identically
-    * zero and the operator untestable).
+  /** Vocabulary size for `q_oov_rate`, overridable via SPARK_GRAFT_OOV_K
+    * (a real deployment sizes K to its tokenizer — 32k/50k/100k; both the
+    * Spark plan and the oracle SQL are built from this ONE value, so an
+    * override keeps the two engines in lockstep). The default is sized to
+    * the fixture: the testdata corpus has exactly 31 distinct tokens, so
+    * K=16 covers the frequency head while leaving a real OOV tail to
+    * measure (K ≥ 31 would make the statistic identically zero and the
+    * operator untestable). Parsing fails LOUDLY on a garbage value.
     */
-  private[graft] val OovVocabK = 16
+  private[graft] val OovVocabK: Int =
+    sys.env.get("SPARK_GRAFT_OOV_K").map(_.toInt).getOrElse(16)
 
   /** Domains dropped by the URL curation stage (batch `q_url_curation` and
     * the streaming gate share this one list).
@@ -867,8 +872,12 @@ object TextAnalysisOps {
       * back; the gate itself is map-side. All-integer arithmetic.
       */
     Op("q_domain_quality_gate",
+      // source is coalesced to '' so docs with MISSING source metadata form
+      // their own bucket instead of silently vanishing through the inner
+      // threshold join (NULL never equi-joins): the gate's output must
+      // PARTITION the eligible corpus
       s"""WITH q AS (
-         |  SELECT doc_id, source, ${DedupOps.qualityMicroDuck} AS qm
+         |  SELECT doc_id, coalesce(source, '') AS source, ${DedupOps.qualityMicroDuck} AS qm
          |  FROM documents WHERE len($toksDuck) > 0),
          |c AS (SELECT source, qm, count(*) AS c FROM q GROUP BY source, qm),
          |cum AS (SELECT source, qm,
@@ -884,7 +893,7 @@ object TextAnalysisOps {
       import org.apache.spark.sql.expressions.Window
       def q = Tables.documents(s, dir)
         .where(expr(s"size($toksSpark) > 0"))
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), coalesce(col("source"), lit("")).as("source"),
           expr(DedupOps.qualityMicroSpark).as("qm"))
       val counts = q.groupBy("source", "qm").agg(count(lit(1)).as("c"))
       val thr = counts

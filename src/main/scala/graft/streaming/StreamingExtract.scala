@@ -181,14 +181,19 @@ object StreamingExtract {
     * broadcast, so the gate stays a map-side probe per micro-batch — the
     * unbounded stream never shuffles. Expects a `domain` column holding
     * registrable domains in the same form `withCanonUrl` derives (no
-    * scheme/userinfo/port/`www.`); rows probing a NULL domain (unparseable
-    * URL) pass the anti-join — the gate drops LISTED domains, it is not a
-    * validity filter.
+    * scheme/userinfo/port/`www.`). Unparseable URLs yield an EMPTY-STRING
+    * domain (Spark's regexp_extract returns '', not NULL, on no match) and
+    * must pass — the gate drops LISTED domains, it is not a validity
+    * filter — so the static side is sanitized against blank rows here: a
+    * real blocklist ingested from a text file with one empty line would
+    * otherwise silently drop every unparseable-URL doc.
     */
   def blocklistTableGateStream(
       docs: DataFrame, blocklist: DataFrame, urlCol: String = "url"): DataFrame =
     graft.operators.TextAnalysisOps.withCanonUrl(docs, urlCol)
-      .join(broadcast(blocklist.select(col("domain"))), Seq("domain"), "left_anti")
+      .join(broadcast(blocklist.select(col("domain"))
+        .where(col("domain").isNotNull && length(col("domain")) > 0)),
+        Seq("domain"), "left_anti")
 
   /** One admitted doc after the per-domain-per-window cap. */
   final case class CappedDoc(domain: String, window_start: Timestamp,

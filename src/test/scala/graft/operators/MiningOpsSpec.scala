@@ -183,8 +183,12 @@ class MiningOpsSpec extends SparkTestBase {
     val rows = q("q_substring_strip")
       .select("doc_id", "action", "kept_tokens", "text_out")
       .as[(Long, String, Long, String)].collect()
-    // the eligible universe is exactly the >= SubK-token docs
-    assert(rows.length == toksOf.count(_._2.length >= 8))
+    // the base is EVERY >= 1-token doc — short docs the run detector can't
+    // see must still pass through as 'keep' (the output IS the cleaned corpus)
+    assert(rows.length == toksOf.count(_._2.nonEmpty))
+    rows.filter(r => toksOf(r._1).length < 8).foreach { case (id, action, _, _) =>
+      assert(action == "keep", s"short doc $id should be untouchable by the detector")
+    }
     rows.foreach { case (id, action, kept, text) =>
       cov.get(id) match {
         case None =>

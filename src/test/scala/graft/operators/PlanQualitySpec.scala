@@ -345,13 +345,16 @@ class PlanQualitySpec extends SparkTestBase {
     // the (source, qm) count agg has map-side combine — the corpus never
     // reaches the cumulative windows
     assert(p.contains("partial_count"), p.take(4000))
-    // windows run over the compressed counts only: every Window line sits
-    // BELOW (after, in top-down print order) the aggregate that built them
+    // windows run over the compressed counts only: the counts aggregate
+    // must appear BELOW the windows, i.e. AFTER the last Window line in
+    // the root-first plan print (a parent min(qm) aggregate above the
+    // windows exists regardless, so asserting one above would be vacuous)
     val lines = p.linesIterator.toSeq
-    val firstAgg = lines.indexWhere(_.contains("HashAggregate"))
-    val firstWin = lines.indexWhere(_.contains("Window"))
-    assert(firstWin >= 0 && firstAgg >= 0 && firstWin > firstAgg,
-      lines.take(40).mkString("\n"))
+    val lastWin = lines.lastIndexWhere(_.contains("Window"))
+    assert(lastWin >= 0, p.take(4000))
+    assert(lines.drop(lastWin + 1).exists(_.contains("HashAggregate")),
+      "no aggregate feeds the windows — they run over the raw corpus:\n" +
+        lines.slice(lastWin - 5, lastWin + 10).mkString("\n"))
     // the per-source threshold row joins back as a broadcast, not a shuffle
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
     // scan pruned to the three referenced columns

@@ -188,9 +188,12 @@ class StreamingSpec extends SparkTestBase {
       ("u5", "https://ok.example.net/p?href=b&id=2", "ok.example.net")))
   }
 
-  test("streaming URL gate against a TABLE blocklist: stream-static anti join, null domains pass") {
+  test("streaming URL gate against a TABLE blocklist: stream-static anti join, unparseable URLs pass") {
     implicit val sqlCtx = spark.sqlContext
-    val blocklist = Seq("site13.example.com", "evil.example.org").toDF("domain")
+    // the blank row mimics a blocklist text file with an empty line — the
+    // gate must sanitize it, or every unparseable URL (empty-string domain,
+    // NOT null: regexp_extract returns '' on no match) would be dropped
+    val blocklist = Seq("site13.example.com", "evil.example.org", "").toDF("domain")
     val stream = MemoryStream[(String, String)]
     val df = stream.toDS().toDF("doc_id", "url")
     val q = StreamingExtract.blocklistTableGateStream(df, blocklist)
@@ -198,7 +201,7 @@ class StreamingSpec extends SparkTestBase {
     stream.addData(
       ("t1", "https://WWW.Site13.Example.COM/a?id=1"), // listed (case/www-insensitive)
       ("t2", "https://keep.example.net/b"),
-      ("t3", "not a url at all"))                      // null domain: passes, not a validity gate
+      ("t3", "not a url at all"))   // unparseable → '' domain: passes, not a validity gate
     q.processAllAvailable()
     stream.addData(                                    // second micro-batch probes the same static side
       ("t4", "http://evil.example.org:8080/c"),        // listed, port-stripped
