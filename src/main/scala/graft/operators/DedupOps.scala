@@ -146,13 +146,21 @@ object DedupOps {
     * (band equi-join over the barrier'd signature table) → exact n-gram
     * Jaccard ≥ 0.5. Shared by `q_dedup_pipeline` and `q_dedup_clusters`.
     */
-  private def verifiedPairsSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val bands = bandsSpark(sigSpark(s, dir))
-    val cand = bands.as("a")
+  /** LSH candidate pairs `(doc_a < doc_b)` from the banded signature
+    * table — the pre-verification set; shared by [[verifiedPairsSpark]]
+    * and the calibration report.
+    */
+  private def lshCandidatesSpark(sig: DataFrame): DataFrame = {
+    val bands = bandsSpark(sig)
+    bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private def verifiedPairsSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidatesSpark(sigSpark(s, dir))
     val sh = shingleSetSpark(s, dir)
     val jac = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
       size(array_union(col("x.sh"), col("y.sh"))).cast("double")
@@ -872,6 +880,50 @@ object DedupOps {
         .select(col("source"), col("total"), col("dup_docs"),
           expr("dup_docs * 1000000 div total").as("dup_ppm"))
         .orderBy("source")
+    },
+
+    // MinHash→Jaccard CALIBRATION over the LSH candidate set — the tuning
+    // diagnostic read before changing NumHashes/bands: the signature
+    // estimate (fraction of agreeing minhash components, the unbiased
+    // Jaccard estimator) against the exact n-gram Jaccard, per candidate
+    // pair, both in exact-integer micro units. Run over CANDIDATES, not
+    // verified pairs — calibration needs the sub-threshold tail the
+    // verifier rejects. At-scale shape: everything rides tables the dedup
+    // pipeline already materializes (barrier'd signatures, banded
+    // candidates, shingle sets); candidates bound the quadratic work.
+    Op("q_minhash_calibration",
+      s"""WITH $verifiedPairsDuckCtes,
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST((${(0 until NumHashes)
+               .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+               .mkString(" + ")}) * ${1000000 / NumHashes} AS BIGINT) AS est_micro
+         |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b)
+         |SELECT e.doc_a, e.doc_b, e.est_micro,
+         |  CAST(len(list_intersect(x.sh, y.sh)) * 1000000 //
+         |       len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS jac_micro,
+         |  CAST(abs(e.est_micro - len(list_intersect(x.sh, y.sh)) * 1000000 //
+         |       len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS err_micro
+         |FROM est e JOIN sh x ON x.doc_id = e.doc_a JOIN sh y ON y.doc_id = e.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val sig = sigSpark(s, dir)
+      val cand = lshCandidatesSpark(sig)
+      val sh = shingleSetSpark(s, dir)
+      val estExpr = expr(s"cast((${(0 until NumHashes)
+        .map(j => s"case when a.mh$j = b.mh$j then 1 else 0 end")
+        .mkString(" + ")}) * ${1000000 / NumHashes} as bigint)")
+      val jacMicro = expr("cast(size(array_intersect(x.sh, y.sh)) as bigint) * 1000000" +
+        " div cast(size(array_union(x.sh, y.sh)) as bigint)")
+      cand
+        .join(sig.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(sig.as("b"), col("b.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), estExpr.as("est_micro"))
+        .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
+        .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("est_micro"),
+          jacMicro.as("jac_micro"),
+          abs(col("est_micro") - jacMicro).as("err_micro"))
+        .orderBy("doc_a", "doc_b")
     },
 
     // Paragraph-level exact dedup (the C4/RefinedWeb within-corpus rule:

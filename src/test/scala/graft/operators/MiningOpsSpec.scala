@@ -172,6 +172,28 @@ class MiningOpsSpec extends SparkTestBase {
     assert(rows.map(_._3).sum == distinctHashes, "novel counts don't partition the shingle set")
   }
 
+  test("q_minhash_calibration: estimator quantized to 1/8ths, thresholded pairs = verified pairs") {
+    val rows = q("q_minhash_calibration")
+      .select("doc_a", "doc_b", "est_micro", "jac_micro", "err_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "degenerate: LSH produced no candidates")
+    rows.foreach { case (a, b, est, jac, err) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(est % 125000 == 0 && est >= 0 && est <= 1000000, s"($a,$b) est $est not k/8")
+      assert(jac >= 0 && jac <= 1000000, s"($a,$b) jac out of range")
+      assert(err == math.abs(est - jac), s"($a,$b) err arithmetic")
+    }
+    // the >= 0.5 slice of the calibration set IS the verified pair table
+    val overThreshold = rows.filter(_._4 >= 500000).map(r => (r._1, r._2)).toSet
+    val verified = q("q_dedup_pipeline").select("keeper", "dup")
+      .as[(Long, Long)].collect().toSet
+    assert(overThreshold == verified, "calibration slice disagrees with the dedup pipeline")
+    // (no sub-threshold tail asserted: at sf0.001 every LSH candidate
+    // happens to verify — the 2×4 band S-curve is tuned to this corpus's
+    // near-dup strength; the operator still reports candidates, so a tail
+    // appears the moment banding is loosened)
+  }
+
   test("q_substring_strip: agrees with the coverage report, cuts exactly the covered spans") {
     val cov = q("q_substring_coverage")
       .select("doc_id", "dup_tokens", "total_tokens", "action")
