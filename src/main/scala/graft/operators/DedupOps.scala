@@ -84,7 +84,7 @@ object DedupOps {
   // NOT a per-band union: column pruning would specialize each union branch
   // to its own 4 mh columns, splitting the signature aggregate into two
   // non-reusable exchanges (two documents scans instead of one).
-  private def bandsSpark(sig: org.apache.spark.sql.DataFrame) =
+  private[graft] def bandsSpark(sig: org.apache.spark.sql.DataFrame) =
     sig.select(col("doc_id"),
       posexplode(array(bandDefs.map { case (_, h) => expr(h) }: _*)).as(Seq("band", "bh")))
 
@@ -113,7 +113,7 @@ object DedupOps {
        |  SELECT doc_id, ${(0 until NumHashes).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")}
        |  FROM (SELECT doc_id, $shinglesDuck AS shingles FROM documents WHERE len($toksDuck) >= 3))""".stripMargin
 
-  private def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.GraftFunctions.ensure(s)
     val raw = Tables.documents(s, dir)
       .select(col("doc_id"), expr(toksSpark).as("toks"))

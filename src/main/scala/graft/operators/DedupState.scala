@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted LSH dedup state — the corpus-side artifact that
+  * `q_incremental_dedup` documents as the production shape: daily-ingest
+  * dedup must probe the EXISTING corpus without rescanning it, so the
+  * distinct (band, bh) table (and the signature table it derives from) is
+  * materialized once per corpus snapshot and every incoming batch probes
+  * the parquet state instead of the corpus.
+  *
+  * Layout (all under one stateDir):
+  * {{{
+  *   bands/        distinct (band INT, bh BIGINT) parquet — the probe table
+  *   sigs/         (doc_id, mh0..mh7) parquet — kept so band retuning or
+  *                 calibration never needs a corpus re-scan
+  *   _state_done   marker-after-data: format version + input identity
+  * }}}
+  *
+  * Commit protocol — the same rules as `curationRunStaged` / `DeltaBatches`:
+  *  - marker-after-data: a build killed mid-write leaves no marker, so the
+  *    partial state is invisible and the next build rewrites it;
+  *  - the marker records the INPUT IDENTITY (file-metadata fingerprint of
+  *    the corpus — no data scan), so a refreshed corpus invalidates the
+  *    state instead of silently serving stale bands;
+  *  - a build against unreachable input with a committed marker trusts the
+  *    marker (resume-from-state-alone);
+  *  - SINGLE WRITER per stateDir; readers are unrestricted.
+  *
+  * Signatures and banding come from the same private expressions as the
+  * batch and streaming dedup paths ([[DedupOps.sigSpark]] /
+  * [[DedupOps.bandsSpark]] / [[DedupOps.withBandBuckets]]), so all three
+  * surfaces bucket identically by construction.
+  */
+object DedupState {
+
+  /** Bumped whenever sigs/bands layout or hashing changes — a version
+    * mismatch reads as stale and forces a rebuild, never a misread.
+    */
+  private val FormatVersion = "dedupstate-v1"
+
+  private def marker(stateDir: String) = new Path(s"$stateDir/_state_done")
+
+  /** Build the state from `corpusDir`, or reuse a committed build for the
+    * identical input. Returns true iff a (re)build happened.
+    */
+  def build(s: SparkSession, corpusDir: String, stateDir: String): Boolean = {
+    val m = marker(stateDir)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ident = graft.util.InputIdentity.digestOf(s, corpusDir)
+    val fresh = graft.util.Markers.read(fs, m).exists { v =>
+      val parts = v.split("\n", 2)
+      parts(0) == FormatVersion &&
+        (ident.isEmpty || parts.lift(1).contains(ident.get))
+    }
+    if (fresh) false
+    else {
+      require(ident.isDefined,
+        s"cannot build dedup state: $corpusDir/documents.parquet unreachable and no committed state")
+      fs.delete(m, false) // stale marker down BEFORE the data rewrite
+      val sig = DedupOps.sigSpark(s, corpusDir)
+      sig.write.mode("overwrite").parquet(s"$stateDir/sigs")
+      // bands derive from the just-written sigs (not the corpus): ONE
+      // corpus scan per build, and the two tables cannot disagree
+      DedupOps.bandsSpark(s.read.parquet(s"$stateDir/sigs"))
+        .select(col("band"), col("bh")).distinct()
+        .write.mode("overwrite").parquet(s"$stateDir/bands")
+      graft.util.Markers.write(fs, m, s"$FormatVersion\n${ident.get}")
+      true
+    }
+  }
+
+  /** Dedup an incoming batch `(doc_id, text, ...)` against the persisted
+    * state: same verdicts as `q_incremental_dedup` — a batch doc is 'dup'
+    * iff any of its LSH bands collides with a corpus band — but the corpus
+    * side reads ONLY the state's band table (never the corpus). The batch
+    * side is the small side and broadcasts. Fails fast on an uncommitted
+    * or version-mismatched state.
+    */
+  def dedupBatch(s: SparkSession, stateDir: String, batch: DataFrame): DataFrame = {
+    val m = marker(stateDir)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed = graft.util.Markers.read(fs, m)
+      .exists(_.split("\n", 2)(0) == FormatVersion)
+    if (!committed) throw new IllegalStateException(
+      s"dedup state at $stateDir is uncommitted or a different format — run DedupState.build first")
+    val corpusBands = s.read.parquet(s"$stateDir/bands")
+    val batchBands = DedupOps.withBandBuckets(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"), col("bh"))
+    val dup = broadcast(batchBands).join(corpusBands, Seq("band", "bh"))
+      .select(col("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(broadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_dup").isNull, "kept").otherwise("dup").as("status"))
+  }
+}
