@@ -61,6 +61,12 @@ object DedupOps {
   private val NumBands     = 2
   private val RowsPerBand  = 4
   private val NumHashes    = NumBands * RowsPerBand
+  // q_minhash_calibration quantizes its estimate to 1e6/NumHashes micro
+  // units with INTEGER division on both engines; a NumHashes that doesn't
+  // divide 1e6 (e.g. 12) would floor the quantum and put a spurious
+  // err_micro on every exact match — fail the retune loudly instead
+  require(1000000 % NumHashes == 0,
+    s"NumHashes=$NumHashes must divide 1e6 exactly (calibration quantum)")
   // Spark side: the native one-pass batch fold (functions/MinHashSigs —
   // bit-identical to the portable per-j form below, which remains the
   // oracle text; see MinHashSigsSpec for the equality gate)
@@ -142,10 +148,26 @@ object DedupOps {
       .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
       .groupBy(col("doc_id")).agg(first(col("sh")).as("sh"))
 
-  /** Verified near-dup pairs — the dedup pipeline's core: LSH candidates
-    * (band equi-join over the barrier'd signature table) → exact n-gram
-    * Jaccard ≥ 0.5. Shared by `q_dedup_pipeline` and `q_dedup_clusters`.
+  /** Batch-vs-corpus incremental dedup verdicts — ONE implementation
+    * shared by `q_incremental_dedup` (corpus bands recomputed in-query)
+    * and `DedupState.dedupBatch` (corpus bands read from the persisted
+    * state), so the verdict rule and the collision predicate cannot drift
+    * between the oracled operator and the deployed path. `batch` must
+    * carry (doc_id, text); a batch doc is 'dup' iff any of its LSH bands
+    * collides with a corpus band; the batch side broadcasts.
     */
+  private[graft] def incrementalVerdicts(batch: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val batchBands = withBandBuckets(batch.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"), col("bh"))
+    val dup = broadcast(batchBands)
+      .join(corpusBands.select(col("band"), col("bh")), Seq("band", "bh"))
+      .select(col("doc_id")).distinct()
+    batch.select(col("doc_id"))
+      .join(broadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_dup").isNull, "kept").otherwise("dup").as("status"))
+  }
+
   /** LSH candidate pairs `(doc_a < doc_b)` from the banded signature
     * table — the pre-verification set; shared by [[verifiedPairsSpark]]
     * and the calibration report.
@@ -159,6 +181,12 @@ object DedupOps {
       .distinct()
   }
 
+  /** Verified near-dup pairs — the dedup pipeline's core: LSH candidates
+    * (band equi-join over the barrier'd signature table) → exact n-gram
+    * Jaccard ≥ 0.5. The Spark twin of [[verifiedPairsDuckCtes]]' `pairs`
+    * CTE; every consumer of that chain (pipeline, clusters, keep-best,
+    * dup-rate, curation) reads this one implementation.
+    */
   private def verifiedPairsSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val cand = lshCandidatesSpark(sigSpark(s, dir))
     val sh = shingleSetSpark(s, dir)
@@ -1162,15 +1190,7 @@ object DedupOps {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val corpusBands = withBandBuckets(docs.where(col("doc_id") % 10 =!= 0))
         .select("band", "bh").distinct()
-      val batchBands = withBandBuckets(docs.where(col("doc_id") % 10 === 0))
-        .select("doc_id", "band", "bh")
-      // the new batch is the small side: broadcast its bands at the probe
-      val dup = broadcast(batchBands).join(corpusBands, Seq("band", "bh"))
-        .select("doc_id").distinct()
-      docs.where(col("doc_id") % 10 === 0).select("doc_id")
-        .join(broadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("is_dup").isNull, "kept").otherwise("dup").as("status"))
+      incrementalVerdicts(docs.where(col("doc_id") % 10 === 0), corpusBands)
         .orderBy("doc_id")
     },
 

@@ -27,7 +27,14 @@ import org.apache.spark.sql.functions._
   *    state instead of silently serving stale bands;
   *  - a build against unreachable input with a committed marker trusts the
   *    marker (resume-from-state-alone);
-  *  - SINGLE WRITER per stateDir; readers are unrestricted.
+  *  - SINGLE WRITER per stateDir. Readers must not SPAN a rebuild: a
+  *    rebuild overwrites bands/ in place, so a dedupBatch job that listed
+  *    the old files can fail mid-action (or, under ignoreMissingFiles,
+  *    silently probe a partial table). Rebuilds are maintenance-window
+  *    operations here; a deployment with always-on readers should house
+  *    bands/sigs in a `VersionedTable` (gen-N + pointer) so rebuilds
+  *    install invisibly — the same trade documented on `Compact` vs
+  *    `VersionedTable`.
   *
   * Signatures and banding come from the same private expressions as the
   * batch and streaming dedup paths ([[DedupOps.sigSpark]] /
@@ -43,6 +50,17 @@ object DedupState {
 
   private def marker(stateDir: String) = new Path(s"$stateDir/_state_done")
 
+  /** Some(recorded input identity) iff the marker is committed under THIS
+    * format version — the one parse both the builder and the probe use, so
+    * a marker-shape change cannot make them disagree about committedness.
+    */
+  private def committedIdent(
+      fs: org.apache.hadoop.fs.FileSystem, m: Path): Option[String] =
+    graft.util.Markers.read(fs, m).flatMap { v =>
+      val parts = v.split("\n", 2)
+      if (parts(0) == FormatVersion) Some(parts.lift(1).getOrElse("")) else None
+    }
+
   /** Build the state from `corpusDir`, or reuse a committed build for the
     * identical input. Returns true iff a (re)build happened.
     */
@@ -50,11 +68,7 @@ object DedupState {
     val m = marker(stateDir)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
     val ident = graft.util.InputIdentity.digestOf(s, corpusDir)
-    val fresh = graft.util.Markers.read(fs, m).exists { v =>
-      val parts = v.split("\n", 2)
-      parts(0) == FormatVersion &&
-        (ident.isEmpty || parts.lift(1).contains(ident.get))
-    }
+    val fresh = committedIdent(fs, m).exists(rec => ident.forall(_ == rec))
     if (fresh) false
     else {
       require(ident.isDefined,
@@ -82,18 +96,10 @@ object DedupState {
   def dedupBatch(s: SparkSession, stateDir: String, batch: DataFrame): DataFrame = {
     val m = marker(stateDir)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val committed = graft.util.Markers.read(fs, m)
-      .exists(_.split("\n", 2)(0) == FormatVersion)
-    if (!committed) throw new IllegalStateException(
+    if (committedIdent(fs, m).isEmpty) throw new IllegalStateException(
       s"dedup state at $stateDir is uncommitted or a different format — run DedupState.build first")
-    val corpusBands = s.read.parquet(s"$stateDir/bands")
-    val batchBands = DedupOps.withBandBuckets(batch.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("band"), col("bh"))
-    val dup = broadcast(batchBands).join(corpusBands, Seq("band", "bh"))
-      .select(col("doc_id")).distinct()
-    batch.select(col("doc_id"))
-      .join(broadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("is_dup").isNull, "kept").otherwise("dup").as("status"))
+    // ONE shared verdict implementation with q_incremental_dedup — only the
+    // corpus-band source differs (persisted parquet here, in-query there)
+    DedupOps.incrementalVerdicts(batch, s.read.parquet(s"$stateDir/bands"))
   }
 }

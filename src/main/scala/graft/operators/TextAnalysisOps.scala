@@ -42,8 +42,12 @@ object TextAnalysisOps {
     * measure (K ≥ 31 would make the statistic identically zero and the
     * operator untestable). Parsing fails LOUDLY on a garbage value.
     */
-  private[graft] val OovVocabK: Int =
-    sys.env.get("SPARK_GRAFT_OOV_K").map(_.toInt).getOrElse(16)
+  private[graft] val OovVocabK: Int = {
+    val k = sys.env.get("SPARK_GRAFT_OOV_K").map(_.toInt).getOrElse(16)
+    require(k > 0, s"SPARK_GRAFT_OOV_K must be positive, got $k — K=0 would make " +
+      "every token OOV on both engines, a silently meaningless diagnostic")
+    k
+  }
 
   /** Domains dropped by the URL curation stage (batch `q_url_curation` and
     * the streaming gate share this one list).

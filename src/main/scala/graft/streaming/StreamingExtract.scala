@@ -191,7 +191,12 @@ object StreamingExtract {
   def blocklistTableGateStream(
       docs: DataFrame, blocklist: DataFrame, urlCol: String = "url"): DataFrame =
     graft.operators.TextAnalysisOps.withCanonUrl(docs, urlCol)
-      .join(broadcast(blocklist.select(col("domain"))
+      .join(broadcast(blocklist
+        // trim BEFORE the blank filter: a hand-edited list file carries
+        // both empty lines and whitespace-padded domains, and a padded
+        // 'evil.example.org ' would otherwise never match the canonical
+        // form — a takedown-listed domain silently passing the gate
+        .select(trim(col("domain")).as("domain"))
         .where(col("domain").isNotNull && length(col("domain")) > 0)),
         Seq("domain"), "left_anti")
 

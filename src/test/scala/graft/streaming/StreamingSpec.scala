@@ -192,8 +192,9 @@ class StreamingSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     // the blank row mimics a blocklist text file with an empty line — the
     // gate must sanitize it, or every unparseable URL (empty-string domain,
-    // NOT null: regexp_extract returns '' on no match) would be dropped
-    val blocklist = Seq("site13.example.com", "evil.example.org", "").toDF("domain")
+    // NOT null: regexp_extract returns '' on no match) would be dropped;
+    // the padded row must still MATCH after trimming (a hand-edited list)
+    val blocklist = Seq("site13.example.com", "  evil.example.org ", "").toDF("domain")
     val stream = MemoryStream[(String, String)]
     val df = stream.toDS().toDF("doc_id", "url")
     val q = StreamingExtract.blocklistTableGateStream(df, blocklist)
