@@ -160,6 +160,45 @@ object StreamingExtract {
       }
       .start()
 
+  /** Streaming ingest dedup against the PERSISTED corpus state — the
+    * always-on twin of `DedupState.dedupBatch`: every micro-batch's LSH
+    * bands probe the state's band table (built once per corpus snapshot by
+    * `DedupStateMain`), survivors append to `outDir`, colliding docs drop.
+    * This is the production ingest gate: [[nearDedupStream]] only sees the
+    * watermark horizon; this sees the WHOLE corpus, without scanning it.
+    *
+    * foreachBatch (the indexSink pattern) because the verdict is a per-DOC
+    * decision over per-BAND collisions — banding explodes each doc to
+    * NumBands rows and the doc survives only if NONE collide, a regrouping
+    * that would need stream state to express as a plain stream-static
+    * join; inside foreachBatch it is the exact shared batch code path
+    * ([[graft.operators.DedupOps.incrementalVerdicts]] via `dedupBatch`),
+    * so the stream and the batch gate agree by construction. Cost per
+    * micro-batch: batch bands broadcast against the state parquet —
+    * O(batch + state-bands scan), never the corpus. At-least-once
+    * micro-batches can re-append survivors after a sink failure —
+    * downstream exact dedup (or the idempotent index sink) absorbs
+    * replays; the state is read-only here, so replays cannot corrupt it.
+    * Do not run a state REBUILD while the stream is up (see the
+    * reader-vs-rebuild note on [[graft.operators.DedupState]]).
+    */
+  def stateDedupSink(docs: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            val verdicts = graft.operators.DedupState.dedupBatch(b.sparkSession, stateDir, b)
+            b.join(verdicts.where(col("status") === "kept"), Seq("doc_id"), "left_semi")
+              .write.mode("append").parquet(outDir)
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Streaming URL gate — the stateless half of `q_url_curation` on
     * unbounded input: canonicalize (fragment/tracking-param strip,
     * scheme+host lowercasing) and drop blocklisted domains, via the SAME

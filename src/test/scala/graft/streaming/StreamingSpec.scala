@@ -188,6 +188,39 @@ class StreamingSpec extends SparkTestBase {
       ("u5", "https://ok.example.net/p?href=b&id=2", "ok.example.net")))
   }
 
+  test("streaming state-backed dedup: micro-batches gate against the persisted corpus bands") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val stateDir = java.nio.file.Files.createTempDirectory("ds_stream_state").toString
+    val corpusTmp = java.nio.file.Files.createTempDirectory("ds_stream_corpus").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ds_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ds_stream_ckpt").toString
+    graft.operators.Tables.documents(spark, sfDir).where(col("doc_id") % 10 =!= 0)
+      .write.mode("overwrite").parquet(s"$corpusTmp/documents.parquet")
+    assert(graft.operators.DedupState.build(spark, corpusTmp, stateDir))
+
+    // expected survivors = the batch operator's verdicts over the same split
+    val expected = graft.SparkEntry.queries("q_incremental_dedup")(spark, sfDir)
+      .where(col("status") === "kept").select("doc_id")
+      .as[Long].collect().toSet
+    assert(expected.nonEmpty, "degenerate fixture: every streamed doc is a dup")
+
+    val incoming = graft.operators.Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingExtract.stateDedupSink(
+      stream.toDS().toDF("doc_id", "text"), stateDir, outDir, ckpt)
+    val (first, second) = incoming.splitAt(incoming.length / 2)
+    stream.addData(first: _*); q.processAllAvailable()
+    stream.addData(second: _*); q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(landed == expected,
+      s"streamed survivors diverge from the batch gate: extra=${(landed -- expected).take(3)}, missing=${(expected -- landed).take(3)}")
+  }
+
   test("streaming URL gate against a TABLE blocklist: stream-static anti join, unparseable URLs pass") {
     implicit val sqlCtx = spark.sqlContext
     // the blank row mimics a blocklist text file with an empty line — the
