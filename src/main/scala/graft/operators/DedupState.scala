@@ -93,13 +93,21 @@ object DedupState {
     * side is the small side and broadcasts. Fails fast on an uncommitted
     * or version-mismatched state.
     */
-  def dedupBatch(s: SparkSession, stateDir: String, batch: DataFrame): DataFrame = {
+  /** The committed band table, marker-validated — fails fast on an
+    * uncommitted or version-mismatched state. Long-lived readers (the
+    * streaming sink) load ONCE and cache; per-call probes go through
+    * [[dedupBatch]].
+    */
+  def loadBands(s: SparkSession, stateDir: String): DataFrame = {
     val m = marker(stateDir)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (committedIdent(fs, m).isEmpty) throw new IllegalStateException(
       s"dedup state at $stateDir is uncommitted or a different format — run DedupState.build first")
+    s.read.parquet(s"$stateDir/bands")
+  }
+
+  def dedupBatch(s: SparkSession, stateDir: String, batch: DataFrame): DataFrame =
     // ONE shared verdict implementation with q_incremental_dedup — only the
     // corpus-band source differs (persisted parquet here, in-query there)
-    DedupOps.incrementalVerdicts(batch, s.read.parquet(s"$stateDir/bands"))
-  }
+    DedupOps.incrementalVerdicts(batch, loadBands(s, stateDir))
 }

@@ -141,63 +141,69 @@ object StreamingExtract {
     * writer of its indexDir (micro-batches are serial) — don't run batch
     * maintenance appends against the same index while the stream is up.
     */
-  def indexSink(vectors: DataFrame, indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
+  /** Shared foreachBatch scaffolding: persist the micro-batch (the body
+    * runs multiple actions over it — without the persist each one would
+    * re-execute the micro-batch's source plan), skip empties, always
+    * unpersist. Every foreachBatch sink goes through here so the
+    * persist/guard/unpersist discipline cannot diverge between sinks.
+    */
+  private def persistedBatchSink(df: DataFrame, checkpointDir: String)(
+      body: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persist: append runs three actions over the batch (content-id agg,
-        // disjointness check, delta write) — without the persist each one
-        // would re-execute the micro-batch's source plan
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch.persist()
-        try {
-          if (!b.isEmpty) {
-            graft.operators.AnnIndex.append(b.sparkSession, indexDir, b)
-            ()
-          }
-        } finally { b.unpersist(); () }
+        try { if (!b.isEmpty) body(b, id) }
+        finally { b.unpersist(); () }
       }
       .start()
+
+  def indexSink(vectors: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    persistedBatchSink(vectors, checkpointDir) { (b, _) =>
+      graft.operators.AnnIndex.append(b.sparkSession, indexDir, b)
+      ()
+    }
 
   /** Streaming ingest dedup against the PERSISTED corpus state — the
     * always-on twin of `DedupState.dedupBatch`: every micro-batch's LSH
     * bands probe the state's band table (built once per corpus snapshot by
     * `DedupStateMain`), survivors append to `outDir`, colliding docs drop.
-    * This is the production ingest gate: [[nearDedupStream]] only sees the
-    * watermark horizon; this sees the WHOLE corpus, without scanning it.
+    * This gates against the WHOLE corpus snapshot without scanning it;
+    * compose it BEHIND [[nearDedupStream]] in a deployment — the state
+    * probe is corpus-vs-batch ONLY (it never compares a batch against
+    * itself or against earlier stream survivors), so within-horizon
+    * near-dups are the upstream stage's job, and near-dups of stream
+    * survivors arriving AFTER the watermark expired remain undetected
+    * until the next `DedupStateMain` rebuild folds survivors into the
+    * state — the documented residual window of any snapshot-state gate.
     *
     * foreachBatch (the indexSink pattern) because the verdict is a per-DOC
     * decision over per-BAND collisions — banding explodes each doc to
     * NumBands rows and the doc survives only if NONE collide, a regrouping
     * that would need stream state to express as a plain stream-static
     * join; inside foreachBatch it is the exact shared batch code path
-    * ([[graft.operators.DedupOps.incrementalVerdicts]] via `dedupBatch`),
-    * so the stream and the batch gate agree by construction. Cost per
-    * micro-batch: batch bands broadcast against the state parquet —
-    * O(batch + state-bands scan), never the corpus. At-least-once
-    * micro-batches can re-append survivors after a sink failure —
-    * downstream exact dedup (or the idempotent index sink) absorbs
-    * replays; the state is read-only here, so replays cannot corrupt it.
-    * Do not run a state REBUILD while the stream is up (see the
-    * reader-vs-rebuild note on [[graft.operators.DedupState]]).
+    * ([[graft.operators.DedupOps.incrementalVerdicts]]), so the stream and
+    * the batch gate agree by construction. The band table is
+    * marker-validated and CACHED once at sink construction (the state is
+    * contractually immutable while the stream is up — do not run a rebuild
+    * against it, see [[graft.operators.DedupState]]), so a micro-batch
+    * costs O(batch) against cached bands, not a per-batch state scan.
+    * Exactly-once effect under foreachBatch's at-least-once replay:
+    * survivors land in a PER-MICRO-BATCH directory `batch=<id>` written
+    * with overwrite — a replayed micro-batch overwrites its own directory
+    * instead of appending duplicates (the indexSink idempotence rule).
     */
   def stateDedupSink(docs: DataFrame, stateDir: String, outDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          if (!b.isEmpty) {
-            val verdicts = graft.operators.DedupState.dedupBatch(b.sparkSession, stateDir, b)
-            b.join(verdicts.where(col("status") === "kept"), Seq("doc_id"), "left_semi")
-              .write.mode("append").parquet(outDir)
-          }
-        } finally { b.unpersist(); () }
-      }
-      .start()
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val bands = graft.operators.DedupState.loadBands(docs.sparkSession, stateDir).persist()
+    persistedBatchSink(docs, checkpointDir) { (b, id) =>
+      val verdicts = graft.operators.DedupOps.incrementalVerdicts(b, bands)
+      b.join(verdicts.where(col("status") === "kept"), Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    }
+  }
 
   /** Streaming URL gate — the stateless half of `q_url_curation` on
     * unbounded input: canonicalize (fragment/tracking-param strip,
