@@ -129,11 +129,14 @@ object CorpusOps {
       * Integer sums are order-free, so the result is bit-stable anywhere.
       *
       * Scale shape: per iteration one equi-join of the narrow (node, rank)
-      * table against the edge list (both hash-partitioned on the join key —
-      * co-partitioned after the first round) + a partial-agg'd sum; ranks
-      * localCheckpoint per round so the plan doesn't grow with iterations —
-      * the same discipline as connected components. Never materializes
-      * anything wider than (node, rank).
+      * table against the degree-annotated edge list (staged once behind an
+      * eager checkpoint) + a partial-agg'd sum. The five rounds chain into
+      * one fixed-depth plan executed by the final top-k action — with a
+      * DATA-dependent round count you'd checkpoint per round to stop plan
+      * growth (the connected-components discipline), but a constant five
+      * rounds is a 10-operator plan and each per-round eager checkpoint was
+      * a driver-blocking job over ~|nodes| rows. Never materializes
+      * anything wider than (src, dst, deg) / (node, rank).
       */
     Op("q_pagerank", {
       val n = "(SELECT count(*) FROM documents)"
@@ -159,16 +162,21 @@ object CorpusOps {
       val edges = docs.select(col("doc_id"),
           explode(expr("sequence(1, cast(1 + doc_id % 3 as int))")).as("k"))
         .select(col("doc_id").as("src"), ((col("doc_id") + col("k") * 7) % n).as("dst"))
-        .localCheckpoint(true)
+      // (src, dst, deg) staged ONCE: attaching the out-degree up front
+      // halves the per-round joins (rank div deg needs no second join) and
+      // the one eager checkpoint truncates lineage for all five rounds.
+      // The rounds themselves are NOT checkpointed — five joins + aggs is a
+      // small fixed-depth plan, so the whole propagation runs as ONE Spark
+      // job at the final top-k instead of a driver-blocking job per round
+      // (the eager-per-round form paid ~7 job round-trips for 100 rows).
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesD = edges.join(deg, "src").localCheckpoint(true)
       var rank = docs.select(col("doc_id").as("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 5) {
-        rank = edges.join(rank, edges("src") === rank("node"))
-          .join(deg, "src")
+        rank = edgesD.join(rank, edgesD("src") === rank("node"))
           .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
           .groupBy("node")
           .agg((lit(150000L) + expr("85 * sum(contrib) div 100")).as("rank"))
-          .localCheckpoint(true)
       }
       rank.select(col("node").as("doc_id"), col("rank").cast("bigint").as("rank_micro"))
         .orderBy(desc("rank_micro"), asc("doc_id")).limit(100)

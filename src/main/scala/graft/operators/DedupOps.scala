@@ -119,34 +119,49 @@ object DedupOps {
        |  SELECT doc_id, ${(0 until NumHashes).map(j => s"${mhDuck(j)} AS mh$j").mkString(", ")}
        |  FROM (SELECT doc_id, $shinglesDuck AS shingles FROM documents WHERE len($toksDuck) >= 3))""".stripMargin
 
+  /** Signature table derived from the barrier'd distinct-shingle table —
+    * the round-6 one-scan shape: [[shingleSetSpark]]'s single documents
+    * scan feeds the minhash fold here AND both sides of the exact-Jaccard
+    * verify join (MinHash is duplicate-insensitive, so signatures over the
+    * DISTINCT sets equal the oracle's multiset fold — the precedent
+    * curationStagesFrom already relies on). The fold is pinned behind a
+    * SECOND Aggregate barrier before the per-column extraction (the 8
+    * `mh$j` projections would otherwise each re-inline it — the
+    * q_simhash_pairs lesson); that barrier rides the shingle barrier's
+    * doc_id partitioning, so it adds NO exchange. At 100 TB this narrow
+    * (doc_id, mh0..mh7) table is what you'd persist anyway.
+    */
+  private[graft] def sigFromShingles(sh: org.apache.spark.sql.DataFrame) =
+    sh.select(col("doc_id"), expr(s"minhash_sigs(sh, $NumHashes)").as("sigs"))
+      .groupBy(col("doc_id")).agg(first(col("sigs")).as("sigs"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
+
   private[graft] def sigSpark(s: org.apache.spark.sql.SparkSession, dir: String) = {
     graft.functions.GraftFunctions.ensure(s)
-    val raw = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(toksSpark).as("toks"))
-      .where(expr("size(toks) >= 3"))
-      .select(col("doc_id"), expr(shinglesFromToks).as("shingles"))
-      .select(col("doc_id"), expr(mhSparkAll).as("sigs"))
-    // MATERIALIZE the signature table behind an Aggregate barrier (the
-    // q_simhash_pairs pattern): without it, every band branch and both
-    // self-join sides re-inline the tokenize→shingle→md5-min fold, scanning
-    // documents 4-6x per LSH query. With it, the plan computes signatures
-    // ONCE and all other references reuse the exchange — at 100 TB this
-    // narrow (doc_id, mh0..mh7) table is what you'd persist anyway. The
-    // barrier also pins the batch fold to exactly one evaluation before the
-    // per-column extraction below.
-    raw.groupBy(col("doc_id")).agg(first(col("sigs")).as("sigs"))
-      .select(col("doc_id") +: (0 until NumHashes).map(j => col("sigs")(j).as(s"mh$j")): _*)
+    sigFromShingles(shingleSetSpark(s, dir))
   }
 
-  /** Distinct-shingle-set table behind the same Aggregate barrier — one
-    * documents scan feeds both sides of the exact-Jaccard verify join.
+  /** Distinct-shingle-set table behind the Aggregate barrier — ONE
+    * documents scan feeding the signature derivation ([[sigFromShingles]])
+    * and both sides of the exact-Jaccard verify join.
+    *
+    * `spread` (see [[Tables.spreadSmall]]): ON for the verified-pairs
+    * family, where the table also feeds the 8-permutation minhash fold and
+    * the interleaved A/B wins decisively (q_minhash_lsh_pairs 1.00→0.50s,
+    * q_minhash_calibration 1.12→0.81s, q_dedup_pipeline 1.26→0.95s); OFF
+    * for the direct consumers without the sig fold (q_ngram_jaccard
+    * 0.69→0.85s, q_decontaminate 0.57→1.01s with spread — the extra AQE
+    * stage costs more than the single-task shingle pass there).
     */
-  private def shingleSetSpark(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.documents(s, dir)
+  private def shingleSetSpark(s: org.apache.spark.sql.SparkSession, dir: String,
+      spread: Boolean = true) = {
+    val base = Tables.documents(s, dir)
+    (if (spread) Tables.spreadSmall(base, col("doc_id")) else base)
       .select(col("doc_id"), expr(toksSpark).as("toks"))
       .where(expr("size(toks) >= 3"))
       .select(col("doc_id"), expr(s"array_distinct($shinglesFromToks)").as("sh"))
       .groupBy(col("doc_id")).agg(first(col("sh")).as("sh"))
+  }
 
   /** Batch-vs-corpus incremental dedup verdicts — ONE implementation
     * shared by `q_incremental_dedup` (corpus bands recomputed in-query)
@@ -155,15 +170,26 @@ object DedupOps {
     * between the oracled operator and the deployed path. `batch` must
     * carry (doc_id, text); a batch doc is 'dup' iff any of its LSH bands
     * collides with a corpus band; the batch side broadcasts.
+    *
+    * `batchRows`: a caller that KNOWS the batch row count (the streaming
+    * sink, whose micro-batch is persisted — a post-downtime backlog batch
+    * can be arbitrarily large) passes it so the broadcast hint is dropped
+    * above [[DeltaBatches.BroadcastMaxRows]] and the planner shuffles
+    * instead of OOMing the driver on a batch the stream can never drain.
+    * None (the oracled `q_incremental_dedup`, whose batch is bounded by
+    * construction) keeps the unconditional hint.
     */
-  private[graft] def incrementalVerdicts(batch: DataFrame, corpusBands: DataFrame): DataFrame = {
+  private[graft] def incrementalVerdicts(batch: DataFrame, corpusBands: DataFrame,
+      batchRows: Option[Long] = None): DataFrame = {
+    val hintOk = batchRows.forall(_ <= DeltaBatches.BroadcastMaxRows)
+    def maybeBroadcast(df: DataFrame) = if (hintOk) broadcast(df) else df
     val batchBands = withBandBuckets(batch.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("band"), col("bh"))
-    val dup = broadcast(batchBands)
+    val dup = maybeBroadcast(batchBands)
       .join(corpusBands.select(col("band"), col("bh")), Seq("band", "bh"))
       .select(col("doc_id")).distinct()
     batch.select(col("doc_id"))
-      .join(broadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
+      .join(maybeBroadcast(dup.withColumn("is_dup", lit(1))), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_dup").isNull, "kept").otherwise("dup").as("status"))
   }
@@ -188,8 +214,13 @@ object DedupOps {
     * dup-rate, curation) reads this one implementation.
     */
   private def verifiedPairsSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidatesSpark(sigSpark(s, dir))
+    graft.functions.GraftFunctions.ensure(s)
+    // ONE barrier'd shingle table: the signature branch and both verify
+    // sides reference the identical subtree, so the scan + tokenize +
+    // shingle pass runs once and the other references are ReusedExchange
+    // (plan-gated; previously sig and shingles were two separate scans).
     val sh = shingleSetSpark(s, dir)
+    val cand = lshCandidatesSpark(sigFromShingles(sh))
     val jac = size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
       size(array_union(col("x.sh"), col("y.sh"))).cast("double")
     cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
@@ -217,11 +248,16 @@ object DedupOps {
   private val SubW = 4
   private val SubMinRun = SubW + SubK - 1
 
-  /** The k-gram hash table `(doc_id, pos, kh)` behind an Aggregate barrier:
-    * it feeds the winnowing window AND both sides of the verify join, so
-    * without the barrier each consumer would re-inline the tokenize→md5
-    * chain and re-scan `documents` (the sigSpark pattern — at 100 TB this
-    * narrow table is what you'd persist between runs).
+  /** The per-doc k-gram hash ARRAY table `(doc_id, khs)` behind an
+    * Aggregate barrier: ONE documents scan feeds the winnowed fingerprints
+    * and (exploded to rows) both sides of the verify join — without the
+    * barrier each consumer would re-inline the tokenize→md5 chain and
+    * re-scan `documents` (the sigSpark pattern; at 100 TB this narrow
+    * table is what you'd persist between runs). Round-6 shape change: the
+    * previous barrier keyed (doc_id, pos) rows, forcing a wider exchange
+    * AND a doc_id-partitioned window sort for the winnowing step; the
+    * array form keys doc_id only and makes winnowing a map-only array
+    * fold ([[substringRunsSpark]]).
     */
   private def kgramSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val khExpr = h60Spark(s"concat_ws(' ', slice(toks, i, $SubK))")
@@ -229,9 +265,8 @@ object DedupOps {
       .select(col("doc_id"), expr(toksSpark).as("toks"))
       .where(expr(s"size(toks) >= $SubK"))
       .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(toks) - ${SubK - 1}), i -> $khExpr)"))
-          .as(Seq("pos", "kh")))
-      .groupBy(col("doc_id"), col("pos")).agg(first(col("kh")).as("kh"))
+        expr(s"transform(sequence(1, size(toks) - ${SubK - 1}), i -> $khExpr)").as("khs"))
+      .groupBy(col("doc_id")).agg(first(col("khs")).as("khs"))
   }
 
   /** Maximal cross-document exact token runs ≥ [[SubMinRun]]:
@@ -246,26 +281,29 @@ object DedupOps {
   private def substringRunsSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val kg = kgramSpark(s, dir)
-    // winnow: forward window over the hash sequence, rightmost-min per the
-    // Schleimer/Wilkerson/Aiken rule (min(struct(kh, -pos)) — see q_winnow)
-    val fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, SubW - 1)
-    val wins = kg.select(col("doc_id"), col("pos"),
-      min(struct(col("kh"), (-col("pos")).as("np"))).over(fwd).as("m"),
-      count(lit(1)).over(fwd).as("wlen"),
-      count(lit(1)).over(Window.partitionBy("doc_id")).as("dlen"))
-    val fps = wins
-      .where(col("wlen") === SubW || (col("pos") === 0 && col("dlen") < SubW))
-      .select(col("doc_id"), col("m.kh").as("fp"))
-      .distinct()
+    // winnow: every full SubW-window's minimum over the hash sequence
+    // (short docs: one window over the whole array — slice caps at the
+    // array end, mirroring the oracle's `h[s : least(s+wEnd, len(h))]`).
+    // MAP-ONLY array fold over the barrier'd khs — the previous relational
+    // form paid a doc_id window sort plus a distinct exchange here; the
+    // per-doc array_distinct replaces the distinct (fingerprints of
+    // different docs can't collide on the (doc_id, fp) key). The winnow
+    // rightmost-tie POSITION rule is irrelevant to this consumer: only the
+    // fingerprint VALUE set feeds candidate nomination.
+    val fps = kg.select(col("doc_id"),
+      explode(expr(
+        s"array_distinct(transform(sequence(1, greatest(size(khs) - ${SubW - 1}, 1))," +
+          s" w -> array_min(slice(khs, w, $SubW))))")).as("fp"))
     val cand = fps.as("fa")
       .join(fps.as("fb"), col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
       .select(col("fa.doc_id").as("doc_a"), col("fb.doc_id").as("doc_b"))
       .distinct()
     // verify + extend: gram rows restricted to candidate docs (cand is the
     // small side — it broadcasts), then ONE hash equi-join; never all-pairs
+    val kgRows = kg.select(col("doc_id"), posexplode(col("khs")).as(Seq("pos", "kh")))
     val m = cand
-      .join(kg.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(kg.as("b"), col("doc_b") === col("b.doc_id") && col("a.kh") === col("b.kh"))
+      .join(kgRows.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(kgRows.as("b"), col("doc_b") === col("b.doc_id") && col("a.kh") === col("b.kh"))
       .select(col("doc_a"), col("doc_b"), col("a.pos").as("pa"), col("b.pos").as("pb"))
     val diag = Window.partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
       .orderBy("pa")
@@ -408,7 +446,7 @@ object DedupOps {
     */
   def docFeatures(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
-    Tables.documents(s, dir)
+    Tables.spreadSmall(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"), expr(toksSpark).as("toks"))
       .where(expr("size(toks) >= 3"))
       .select(col("doc_id"), col("lang"),
@@ -602,9 +640,12 @@ object DedupOps {
     * (including the final no-change round that proves convergence).
     */
   def connectedComponentsWithStats(pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
+    // edges is marked for lazy checkpoint: the eager labels checkpoint
+    // below computes it as part of the same job (one Spark job instead of
+    // two before the loop); every round then reads the truncated RDD.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.select(col("u").as("doc_id"), col("u").as("cluster")).distinct()
       .localCheckpoint(true)
     var converged = false
@@ -617,14 +658,17 @@ object DedupOps {
       // pointer jump: follow the label's own label (always present — every
       // label is a node id, and every node has a labels row)
       val jump = prop.select(col("doc_id").as("j_id"), col("cluster").as("j_cluster"))
+      // prev_cluster rides the round's own plan so the exact convergence
+      // test is a filter-count over the checkpointed output — ONE Spark job
+      // per round (lazy checkpoint materialized by the count) instead of a
+      // checkpoint job plus a separate next⨝labels job.
       val next = prop.join(jump, prop("cluster") === jump("j_id"))
-        .select(prop("doc_id"), col("j_cluster").as("cluster"))
-        .localCheckpoint(true)
-      val changed = next
         .join(labels.select(col("doc_id"), col("cluster").as("prev_cluster")), "doc_id")
-        .where(col("cluster") =!= col("prev_cluster")).count()
+        .select(prop("doc_id"), col("j_cluster").as("cluster"), col("prev_cluster"))
+        .localCheckpoint(false)
+      val changed = next.where(col("cluster") =!= col("prev_cluster")).count()
       converged = changed == 0L
-      labels = next
+      labels = next.select(col("doc_id"), col("cluster"))
       it += 1
     }
     require(converged, s"connectedComponents did not converge within $maxIters rounds")
@@ -730,7 +774,7 @@ object DedupOps {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
          |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       graft.functions.GraftFunctions.ensure(s)
-      val sh0 = Tables.documents(s, dir)
+      val sh0 = Tables.spreadSmall(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
         .select(col("doc_id"),
@@ -934,9 +978,12 @@ object DedupOps {
          |       len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS err_micro
          |FROM est e JOIN sh x ON x.doc_id = e.doc_a JOIN sh y ON y.doc_id = e.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sig = sigSpark(s, dir)
-      val cand = lshCandidatesSpark(sig)
+      graft.functions.GraftFunctions.ensure(s)
+      // one barrier'd shingle table feeds signatures, candidates AND the
+      // exact-Jaccard sides (the verifiedPairsSpark one-scan shape)
       val sh = shingleSetSpark(s, dir)
+      val sig = sigFromShingles(sh)
+      val cand = lshCandidatesSpark(sig)
       val estExpr = expr(s"cast((${(0 until NumHashes)
         .map(j => s"case when a.mh$j = b.mh$j then 1 else 0 end")
         .mkString(" + ")}) * ${1000000 / NumHashes} as bigint)")
@@ -1099,7 +1146,7 @@ object DedupOps {
          |             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
          |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin) { (s, dir) =>
-      val t = shingleSetSpark(s, dir) // barrier'd: one scan, both join sides reuse
+      val t = shingleSetSpark(s, dir, spread = false) // barrier'd: one scan, both join sides reuse
       val a = t.as("a"); val b = t.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1125,7 +1172,7 @@ object DedupOps {
          |SELECT t.doc_id, CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared
          |FROM train t JOIN bench b ON b.shingle = t.shingle
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val sh = shingleSetSpark(s, dir) // barrier'd: one scan feeds both sides
+      val sh = shingleSetSpark(s, dir, spread = false) // barrier'd: one scan feeds both sides
       val bench = sh.where(col("doc_id") % 97 === 0)
         .select(explode(col("sh")).as("shingle")).distinct()
       val train = sh.where(col("doc_id") % 97 =!= 0)

@@ -83,9 +83,11 @@ private[operators] object DeltaBatches {
 
   /** Above this batch size the exact-fallback join drops the broadcast hint
     * (a backlogged streaming micro-batch could exceed the broadcast limit
-    * or OOM the driver) and lets the planner shuffle instead.
+    * or OOM the driver) and lets the planner shuffle instead. Shared with
+    * the streaming dedup sink's verdict path (DedupOps.incrementalVerdicts)
+    * so both sinks gate their broadcasts consistently.
     */
-  private val BroadcastMaxRows = 1000000L
+  private[graft] val BroadcastMaxRows = 1000000L
 
   def deltaDir(indexDir: String): String    = s"$indexDir/delta"
   def manifestDir(indexDir: String): String = s"$indexDir/_batches"

@@ -169,9 +169,14 @@ object TextAnalysisOps {
     val vocab = Tables.documents(s, dir)
       .select(explode(expr(toksSpark)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // Checkpoints are LAZY throughout the loop: each round's argmax job
+    // materializes the pending segmentation as a side effect, so a round
+    // costs ONE Spark job instead of an eager-checkpoint job plus the
+    // argmax job — and the final round's segmentation is only materialized
+    // by callers that actually read it (q_bpe_vocab never does).
     var seqs = vocab.select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -190,7 +195,7 @@ object TextAnalysisOps {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, f))
         seqs = seqs.select(col("word"), col("freq"), expr(bpeMergeExpr(a, b)).as("syms"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     (merges.result(), seqs)
@@ -429,7 +434,9 @@ object TextAnalysisOps {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" from 10."), (col("doc_id") % 256).cast("string"),
         lit(".0."), (col("doc_id") % 100).cast("string"), lit("."))
-      Tables.documents(s, dir)
+      // spread: three regex extract_alls + three regexp_replaces per row
+      // dominate the tiny exchange (A/B at sf0.1: 0.87s → 0.66s)
+      Tables.spreadSmall(Tables.documents(s, dir), col("doc_id"))
         .select(col("doc_id"), pii.as("pii"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("pii"), lit(EmailPat), lit(0))).cast("int").as("n_emails"),
@@ -447,7 +454,9 @@ object TextAnalysisOps {
          |         1), i -> ${h60Duck("substring(text, CAST(i * 4 + 1 AS INT), 8)")})) AS BIGINT) AS fingerprint,
          |  CAST(floor((length(text) - 8) / 4.0) + 1 AS BIGINT) AS n_shingles
          |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables.documents(s, dir)
+      // spread: the per-row md5 shingle fold dominates the tiny exchange
+      // (A/B at sf0.1: 1.00s → 0.72s)
+      Tables.spreadSmall(Tables.documents(s, dir), col("doc_id"))
         .where(length(col("text")) >= 8)
         .select(col("doc_id"),
           expr(s"array_min(transform(sequence(0, cast(floor((length(text) - 8) / 4.0) as int))," +

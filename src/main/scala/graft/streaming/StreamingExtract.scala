@@ -135,8 +135,10 @@ object StreamingExtract {
     * bloom plus one per committed batch, carried in the manifest — see
     * [[graft.operators.DeltaBatches.guardDisjoint]]), so a micro-batch
     * pays O(batch + manifest), independent of index size; only a digest
-    * hit (a real duplicate, or a ~1% bloom false positive) falls back to
-    * the exact index scan. The strict guard stays because a silent
+    * hit (a real duplicate, or a bloom false positive at the per-append
+    * fpp of ~1e-6 — i.e. a spurious fallback roughly once per million
+    * appended ids, see DeltaBatches.BloomFppDefault's sizing rationale)
+    * falls back to the exact index scan. The strict guard stays because a silent
     * duplicate corrupts every subsequent top-k. The sink is the single
     * writer of its indexDir (micro-batches are serial) — don't run batch
     * maintenance appends against the same index while the stream is up.
@@ -199,7 +201,11 @@ object StreamingExtract {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val bands = graft.operators.DedupState.loadBands(docs.sparkSession, stateDir).persist()
     persistedBatchSink(docs, checkpointDir) { (b, id) =>
-      val verdicts = graft.operators.DedupOps.incrementalVerdicts(b, bands)
+      // b is persisted by the scaffolding, so the count is a cache pass;
+      // it gates the verdict path's broadcast hints (a backlog batch after
+      // stream downtime can exceed what the driver can broadcast)
+      val verdicts = graft.operators.DedupOps.incrementalVerdicts(b, bands,
+        batchRows = Some(b.count()))
       b.join(verdicts.where(col("status") === "kept"), Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(s"$outDir/batch=$id")
     }

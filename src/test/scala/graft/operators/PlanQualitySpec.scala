@@ -123,11 +123,14 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
-  test("q_dedup_pipeline: one scan per signature table (minhash sig + shingle sets)") {
+  test("q_dedup_pipeline: ONE documents scan feeds signatures and both verify sides") {
     withStaticReuse {
       val p = plan("q_dedup_pipeline")
       assert(p.contains("first(sigs") && p.contains("first(sh"), p.take(4000))
-      assert("FileScan".r.findAllIn(p).size == 2, p.take(4000))
+      // round-6: signatures derive from the barrier'd shingle table
+      // (MinHash is duplicate-insensitive), so the previous separate
+      // signature scan is gone — one scan, everything else ReusedExchange
+      assert("FileScan".r.findAllIn(p).size == 1, p.take(4000))
       assert(p.contains("ReusedExchange"), p.take(4000))
     }
   }
