@@ -522,24 +522,38 @@ object DedupOps {
     "5_deduped"         -> "non-keeper in a near-dup cluster")
 
   private def funnelFrom(st: CurationStages): DataFrame = {
-    val s1 = st.scored.where(col("doc_id") % 97 =!= 0)
-    val s2 = s1.where(col("quality") >= 0.5)
-    val s3 = s2.where(col("dup_frac") <= 0.05)
-    val s4 = s3.join(st.contaminated, Seq("doc_id"), "left_anti")
-    val s5 = s4.join(st.dupDrops, Seq("doc_id"), "left_anti")
-    val counts = Seq("0_base" -> st.scored, "1_not_benchmark" -> s1, "2_quality" -> s2,
-        "3_repetition" -> s3, "4_decontaminated" -> s4, "5_deduped" -> s5)
-      .map { case (name, df) => df.agg(count(lit(1)).as("docs")).select(lit(name).as("stage"), col("docs")) }
-      .reduce(_ unionByName _)
-    // dropped = previous stage's count minus this one; the window sees
-    // exactly the 6 funnel rows, never data-sized input
-    val w = org.apache.spark.sql.expressions.Window.orderBy("stage")
-    val reason = funnelReasons.foldLeft(lit(null).cast("string")) {
-      case (acc, (stage, r)) => when(col("stage") === stage, r).otherwise(acc)
+    // ONE conditional-aggregation pass instead of a six-branch count union:
+    // each funnel stage is a cumulative conjunction of per-doc flags, so
+    // all six survivor counts ride a single aggregate over the flagged
+    // table (the anti joins become left joins + null tests — doc_ids are
+    // unique on both sides, so no fanout and identical membership). The
+    // six report rows (and the dropped = prevStage − stage differences)
+    // are then built IN-PLAN from the one aggregate row — no per-stage
+    // job, no window, no data-sized anything above the aggregate.
+    val flagged = st.scored
+      .join(st.contaminated.withColumn("is_cont", lit(1)), Seq("doc_id"), "left")
+      .join(st.dupDrops.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+      .select(
+        (col("doc_id") % 97 =!= 0).as("f_bench"),
+        (col("quality") >= 0.5).as("f_quality"),
+        (col("dup_frac") <= 0.05).as("f_rep"),
+        col("is_cont").isNull.as("f_cont"),
+        col("is_dup").isNull.as("f_dup"))
+    val cum = Seq(col("f_bench"), col("f_quality"), col("f_rep"), col("f_cont"), col("f_dup"))
+      .scanLeft(lit(true))(_ && _) // cumulative stage predicates, 0_base first
+    val agg = flagged.agg(
+      count(when(cum(0), 1)).as("c0"),
+      cum.tail.zipWithIndex.map { case (c, i) => count(when(c, 1)).as(s"c${i + 1}") }: _*)
+    val stageRows = funnelReasons.zipWithIndex.map { case ((stage, reason), i) =>
+      struct(
+        lit(stage).as("stage"),
+        col(s"c$i").as("docs"),
+        (if (i == 0) lit(0L) else col(s"c${i - 1}") - col(s"c$i")).as("dropped"),
+        lit(reason).as("reason"))
     }
-    counts
-      .withColumn("dropped", coalesce(lag(col("docs"), 1).over(w) - col("docs"), lit(0L)))
-      .withColumn("reason", reason)
+    agg.select(explode(array(stageRows: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.docs").as("docs"),
+        col("r.dropped").as("dropped"), col("r.reason").as("reason"))
       .orderBy("stage")
   }
 
@@ -610,7 +624,8 @@ object DedupOps {
 
   /** Connected components over an undirected pair list (`doc_a`, `doc_b`)
     * by min-label propagation WITH pointer jumping: every node starts
-    * labeled with its own id; each round (1) takes the min of its label and
+    * labeled with min(own id, neighbor ids) — the first propagate step
+    * folded into the initialization aggregate; each round (1) takes the min of its label and
     * its neighbors' labels, then (2) shortcuts through its label's label
     * (l(u) ← l(l(u))). The invariant is that a label is always the id of a
     * smaller-or-equal node in the SAME component, so both steps are sound;
@@ -646,7 +661,15 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(false)
-    var labels = edges.select(col("u").as("doc_id"), col("u").as("cluster")).distinct()
+    // Seeded start: label₀(u) = min(u, min neighbor) — exactly what round
+    // one's propagate step would compute from own-id labels, folded into
+    // the initialization aggregate for free (same exchange the old
+    // `distinct()` paid). Every run converges one round earlier; the
+    // invariant (a label is a smaller-or-equal node of the SAME component)
+    // holds from the seed, so the fixpoint is unchanged.
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("cluster"))
+      .select(col("u").as("doc_id"), col("cluster"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -1234,6 +1257,8 @@ object DedupOps {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
          |LEFT JOIN dup ON dup.doc_id = d.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // no spread here: the interleaved A/B loses (0.89→1.09s) — the
+      // broadcast-heavy band probe is cheaper than the extra exchange
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val corpusBands = withBandBuckets(docs.where(col("doc_id") % 10 =!= 0))
         .select("band", "bh").distinct()

@@ -535,21 +535,30 @@ object TextAnalysisOps {
           expr("explode(transform(sequence(0, size(w) - 2)," +
             " i -> named_struct('w1', w[i], 'w2', w[i + 1])))").as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val bgc = bgp.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      // Compress the exploded instance table to per-doc bigram COUNTS
+      // before anything joins or re-shuffles it: the (doc_id, w1, w2)
+      // partial aggregation combines map-side, so the only instance-sized
+      // pass is the scan-stage combine — corpus counts, the probability
+      // join, and the per-doc rollup all ride the compressed table.
+      // Exact-integer equivalence: c2 = Σ cnt, per-doc instance count =
+      // Σ cnt, per-doc score = Σ cnt·micro (micro is per-BIGRAM, so
+      // multiplying by the multiplicity is the same integer sum).
+      val db = bgp.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      val bgc = db.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
       val pre = bgc.groupBy("w1").agg(sum(col("c2")).as("c1"))
       // Join the two AGGREGATED tables first into a per-bigram probability
-      // table, then hit the exploded doc-bigram table exactly once — the
-      // naive bgp⋈bgc⋈pre shape shuffles the big exploded table twice
+      // table, then hit the compressed doc-bigram table exactly once — the
+      // naive bgp⋈bgc⋈pre shape shuffles the exploded table twice
       // (once on (w1,w2), again on w1). The prob table is |distinct
       // bigrams| rows — broadcastable once the vocab is pruned.
       val prob = bgc.join(pre, Seq("w1"))
         .select(col("w1"), col("w2"),
           expr("cast(floor(1000000.0 * (cast(c2 as double) / cast(c1 as double))) as bigint)").as("micro"))
-      bgp.join(prob, Seq("w1", "w2"))
-        .select(col("doc_id"), col("micro"))
+      db.join(prob, Seq("w1", "w2"))
+        .select(col("doc_id"), col("cnt"), col("micro"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
-          sum(col("micro")).cast("bigint").as("score_micro"))
+        .agg(sum(col("cnt")).cast("bigint").as("n_bigrams"),
+          sum(col("cnt") * col("micro")).cast("bigint").as("score_micro"))
         .withColumn("avg_prob_micro", col("score_micro").cast("double") / col("n_bigrams"))
         .orderBy("doc_id")
     },

@@ -42,6 +42,16 @@ class DedupClusterSpec extends SparkTestBase {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("seeded start folds the first propagation in: disjoint pairs prove in ONE round") {
+    // label₀ = min(self, neighbors) already labels every 2-clique by its
+    // min, so the loop's only job is the no-change proof round
+    val (labels, rounds) = DedupOps.connectedComponentsWithStats(
+      Seq((2L, 1L), (5L, 9L), (7L, 8L)).toDF("doc_a", "doc_b"))
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 9L -> 5L, 7L -> 7L, 8L -> 7L))
+    assert(rounds == 1, s"seeded start should converge pairs in one proof round, took $rounds")
+  }
+
   test("q_dedup_clusters: cluster ids are component minima and sizes add up") {
     val df = SparkEntryAccess.query("q_dedup_clusters")(spark, sfDir)
     val rows = df.collect()

@@ -221,6 +221,27 @@ class StreamingSpec extends SparkTestBase {
       s"streamed survivors diverge from the batch gate: extra=${(landed -- expected).take(3)}, missing=${(expected -- landed).take(3)}")
   }
 
+  test("incrementalVerdicts broadcast gate: oversize batch drops the hints, verdicts identical") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = graft.operators.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val corpusBands = graft.operators.DedupOps
+      .withBandBuckets(docs.where(col("doc_id") % 10 =!= 0))
+      .select("band", "bh").distinct()
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val hinted = graft.operators.DedupOps.incrementalVerdicts(batch, corpusBands)
+    val gated = graft.operators.DedupOps.incrementalVerdicts(batch, corpusBands,
+      batchRows = Some(Long.MaxValue)) // above any BroadcastMaxRows setting
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(hints(hinted) > 0, "bounded batch must keep the broadcast hints")
+    assert(hints(gated) == 0,
+      "an above-threshold batch must shed the broadcast hints and let the planner shuffle")
+    assert(gated.orderBy("doc_id").collect().toSeq ==
+      hinted.orderBy("doc_id").collect().toSeq,
+      "gating the hint must not change a single verdict")
+  }
+
   test("streaming URL gate against a TABLE blocklist: stream-static anti join, unparseable URLs pass") {
     implicit val sqlCtx = spark.sqlContext
     // the blank row mimics a blocklist text file with an empty line — the
