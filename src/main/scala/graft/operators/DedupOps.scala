@@ -852,6 +852,10 @@ object DedupOps {
       // interpreted at O(windows × |doc|) md5 recomputations), then one
       // doc_id-partitioned forward window: min(struct(h, -pos)) gives each
       // window's minimum with the rightmost-tie rule in a single pass.
+      // (Round-6 note: a map-only per-doc `aggregate`-fold variant — the
+      // oracle's own shape — was measured SLOWER at sf0.1 (1.09s vs 0.73s
+      // min): higher-order-function folds evaluate interpreted per
+      // element, while this window form stays in codegen'd operators.)
       import org.apache.spark.sql.expressions.Window
       val rows = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))

@@ -35,7 +35,7 @@ object RelationalOps {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      Tables.lineitem(s, dir)
+      Tables.spreadSmall(Tables.lineitem(s, dir), col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("bigint").as("sum_qty"),
