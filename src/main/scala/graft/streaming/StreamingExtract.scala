@@ -191,7 +191,10 @@ object StreamingExtract {
     * marker-validated and CACHED once at sink construction (the state is
     * contractually immutable while the stream is up — do not run a rebuild
     * against it, see [[graft.operators.DedupState]]), so a micro-batch
-    * costs O(batch) against cached bands, not a per-batch state scan.
+    * costs O(batch) against cached bands, not a per-batch state scan; the
+    * cache is RELEASED when the query terminates (listener below), so a
+    * session cycling through sinks/snapshots doesn't accumulate dead
+    * cached band tables.
     * Exactly-once effect under foreachBatch's at-least-once replay:
     * survivors land in a PER-MICRO-BATCH directory `batch=<id>` written
     * with overwrite — a replayed micro-batch overwrites its own directory
@@ -199,8 +202,9 @@ object StreamingExtract {
     */
   def stateDedupSink(docs: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val bands = graft.operators.DedupState.loadBands(docs.sparkSession, stateDir).persist()
-    persistedBatchSink(docs, checkpointDir) { (b, id) =>
+    val spark = docs.sparkSession
+    val bands = graft.operators.DedupState.loadBands(spark, stateDir).persist()
+    val query = persistedBatchSink(docs, checkpointDir) { (b, id) =>
       // b is persisted by the scaffolding, so the count is a cache pass;
       // it gates the verdict path's broadcast hints (a backlog batch after
       // stream downtime can exceed what the driver can broadcast)
@@ -209,6 +213,28 @@ object StreamingExtract {
       b.join(verdicts.where(col("status") === "kept"), Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(s"$outDir/batch=$id")
     }
+    // The band cache's lifetime is the QUERY's, not the session's: a
+    // session running several sinks over successive state snapshots would
+    // otherwise accumulate dead cached band tables (guide §5 — cached data
+    // competes with execution memory; unpersist when done).
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          bands.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    // listener registration raced the (already running) query: if it
+    // terminated before the listener attached, the event is already past —
+    // release directly instead of leaking until session end
+    if (!query.isActive) { bands.unpersist(); spark.streams.removeListener(listener) }
+    query
   }
 
   /** Streaming URL gate — the stateless half of `q_url_curation` on

@@ -208,6 +208,7 @@ class StreamingSpec extends SparkTestBase {
     val incoming = graft.operators.Tables.documents(spark, sfDir)
       .where(col("doc_id") % 10 === 0)
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val preCached = spark.sparkContext.getPersistentRDDs.keySet
     val stream = MemoryStream[(Long, String)]
     val q = StreamingExtract.stateDedupSink(
       stream.toDS().toDF("doc_id", "text"), stateDir, outDir, ckpt)
@@ -219,6 +220,16 @@ class StreamingSpec extends SparkTestBase {
     val landed = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
     assert(landed == expected,
       s"streamed survivors diverge from the batch gate: extra=${(landed -- expected).take(3)}, missing=${(expected -- landed).take(3)}")
+
+    // cache hygiene: the band table cached at sink construction must be
+    // RELEASED once the query stops (termination listener) — the persistent
+    // RDD set returns to its pre-sink state (unpersist + listener delivery
+    // are asynchronous, so poll)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet -- preCached
+    while (leftover.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(leftover.isEmpty,
+      s"band cache leaked after query.stop(): persistent RDD ids $leftover")
   }
 
   test("incrementalVerdicts broadcast gate: oversize batch drops the hints, verdicts identical") {
