@@ -36,13 +36,21 @@ object BenchExtra {
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       planDir.foreach { d =>
-        val df = fn(spark, sfDir)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$d/$name.txt"),
-          df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+        // AQE off for the DUMP only (the DumpPlans convention): exchange
+        // reuse is a static-planning feature whose runtime twin (AQE stage
+        // reuse) is invisible in a pre-execution explain — with AQE on the
+        // dump would show N un-reused scans that never actually run
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val df = fn(spark, sfDir)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$d/$name.txt"),
+            df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       }
       spark.sparkContext.setJobDescription(name)
-      abKey match {
+      if (reps == 0) println(s"[benchextra] $name plan-only")
+      else abKey match {
         case Some(k) =>
           val on = scala.collection.mutable.ArrayBuffer[Double]()
           val off = scala.collection.mutable.ArrayBuffer[Double]()
