@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
       graft.functions.GraftFunctions.simHashBitsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_pairs"),
+      new ExpressionInfo(classOf[graft.functions.WinnowPairs].getName, "winnow_pairs"),
+      graft.functions.GraftFunctions.winnowPairsBuilder))
     ext.injectOptimizerRule(_ => NativeHashRule)
   }
 }

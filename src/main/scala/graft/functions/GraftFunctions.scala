@@ -40,6 +40,17 @@ object GraftFunctions {
     MinHashSigs(children.head, n)
   }
 
+  private[graft] def winnowPairsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"winnow_pairs requires exactly 2 arguments (array<bigint>, window literal), got ${children.length}")
+    val w = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"winnow_pairs window must be an integer literal, got $other")
+    }
+    WinnowPairs(children.head, w)
+  }
+
   private[graft] def simHashBitsBuilder(children: Seq[Expression]): Expression = {
     require(children.length == 2,
       s"simhash_bits requires exactly 2 arguments (array<bigint>, numBits literal), got ${children.length}")
@@ -73,5 +84,10 @@ object GraftFunctions {
         new FunctionIdentifier("simhash_bits"),
         new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
         simHashBitsBuilder _)
+    if (!reg.functionExists(new FunctionIdentifier("winnow_pairs")))
+      reg.registerFunction(
+        new FunctionIdentifier("winnow_pairs"),
+        new ExpressionInfo(classOf[WinnowPairs].getName, "winnow_pairs"),
+        winnowPairsBuilder _)
   }
 }

@@ -260,6 +260,7 @@ object DedupOps {
     * fold ([[substringRunsSpark]]).
     */
   private def kgramSpark(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
     val khExpr = h60Spark(s"concat_ws(' ', slice(toks, i, $SubK))")
     Tables.documents(s, dir)
       .select(col("doc_id"), expr(toksSpark).as("toks"))
@@ -290,10 +291,20 @@ object DedupOps {
     // different docs can't collide on the (doc_id, fp) key). The winnow
     // rightmost-tie POSITION rule is irrelevant to this consumer: only the
     // fingerprint VALUE set feeds candidate nomination.
-    val fps = kg.select(col("doc_id"),
-      explode(expr(
+    val winnowFps =
+      if (kg.sparkSession.conf.get("spark.graft.nativewinnow", "true").toBoolean)
+        // native one-pass winnow (tie position discarded — only the VALUE
+        // set feeds candidate nomination); the HOF form evaluates
+        // interpreted per window with a slice allocation each
+        s"array_distinct(transform(winnow_pairs(khs, $SubW), p -> p.fp))"
+      else
         s"array_distinct(transform(sequence(1, greatest(size(khs) - ${SubW - 1}, 1))," +
-          s" w -> array_min(slice(khs, w, $SubW))))")).as("fp"))
+          s" w -> array_min(slice(khs, w, $SubW))))"
+    // explode_OUTER: exempts the generator from InferFiltersFromGenerate,
+    // whose inferred `size/isnotnull` filter re-evaluates the winnow fold
+    // two extra times above the barrier (kg guarantees non-empty khs, so
+    // outer ≡ inner here — same rows)
+    val fps = kg.select(col("doc_id"), explode_outer(expr(winnowFps)).as("fp"))
     val cand = fps.as("fa")
       .join(fps.as("fb"), col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
       .select(col("fa.doc_id").as("doc_a"), col("fb.doc_id").as("doc_b"))
@@ -845,34 +856,54 @@ object DedupOps {
          |SELECT DISTINCT doc_id, CAST(u.f.pos AS BIGINT) AS pos, u.f.fp AS fp
          |FROM (SELECT doc_id, unnest(fps) AS f FROM wins) u(doc_id, f)
          |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
-      // Relational winnowing — the 100 TB shape: posexplode the shingle
-      // hashes to (doc_id, pos, h) rows (the Generate node is also a hard
-      // barrier against projection collapse re-inlining the md5 chain into
-      // downstream lambdas — the nested-fold variant of this query ran
-      // interpreted at O(windows × |doc|) md5 recomputations), then one
-      // doc_id-partitioned forward window: min(struct(h, -pos)) gives each
-      // window's minimum with the rightmost-tie rule in a single pass.
-      // (Round-6 note: a map-only per-doc `aggregate`-fold variant — the
-      // oracle's own shape — was measured SLOWER at sf0.1 (1.09s vs 0.73s
-      // min): higher-order-function folds evaluate interpreted per
-      // element, while this window form stays in codegen'd operators.)
-      import org.apache.spark.sql.expressions.Window
-      val rows = Tables.documents(s, dir)
+      graft.functions.GraftFunctions.ensure(s)
+      val toks = Tables.documents(s, dir)
         .select(col("doc_id"), expr(toksSpark).as("toks"))
         .where(expr("size(toks) >= 3"))
-        .select(col("doc_id"),
+      if (s.conf.get("spark.graft.nativewinnow", "true").toBoolean) {
+        // Native winnowing — MAP-ONLY: `winnow_pairs` selects every
+        // window's (rightmost-tie pos, min hash) in one tight pass per
+        // document and emits the per-doc DISTINCT pairs by construction
+        // (selection positions are non-decreasing, see the expression
+        // scaladoc), so the relational form's doc_id window exchange +
+        // sort AND the row-level distinct exchange both disappear: at
+        // corpus scale the only remaining exchange is the output ORDER BY.
+        // (The earlier HOF `aggregate` fold attempt was slower than the
+        // window — interpreted per element; the native expression is why
+        // this shape now wins, the r6 "not yet optimized" #4 item.)
+        // explode_OUTER: InferFiltersFromGenerate adds `size(e) > 0 AND
+        // isnotnull(e)` for a plain explode and pushes it below the
+        // projections, re-inlining the whole tokenize→md5→winnow chain
+        // TWICE into the Filter (the q_ngram_novelty r5 pathology —
+        // measured 9× here). The outer generator is exempt from the rule
+        // and identical in results: size(toks) >= 3 guarantees >= 1
+        // shingle, so wp is never empty or null.
+        toks.select(col("doc_id"),
+            expr(s"winnow_pairs(transform($shinglesFromToks," +
+              s" s -> ${h60Spark("s")}), 8)").as("wp"))
+          .select(col("doc_id"), explode_outer(col("wp")).as("f"))
+          .select(col("doc_id"), col("f.pos").cast("bigint").as("pos"), col("f.fp").as("fp"))
+          .orderBy("doc_id", "pos")
+      } else {
+        // Relational winnowing (the pre-r6 shape, kept as the A/B arm):
+        // posexplode the shingle hashes to (doc_id, pos, h) rows, then one
+        // doc_id-partitioned forward window: min(struct(h, -pos)) gives
+        // each window's minimum with the rightmost-tie rule.
+        import org.apache.spark.sql.expressions.Window
+        val rows = toks.select(col("doc_id"),
           posexplode(expr(s"transform($shinglesFromToks, s -> ${h60Spark("s")})"))
             .as(Seq("pos", "h")))
-      val fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 7)
-      val wins = rows.select(col("doc_id"), col("pos"),
-        min(struct(col("h"), (-col("pos")).as("np"))).over(fwd).as("m"),
-        count(lit(1)).over(fwd).as("wlen"),
-        count(lit(1)).over(Window.partitionBy("doc_id")).as("dlen"))
-      wins
-        .where(col("wlen") === 8 || (col("pos") === 0 && col("dlen") < 8))
-        .select(col("doc_id"), (-col("m.np")).cast("bigint").as("pos"), col("m.h").as("fp"))
-        .distinct()
-        .orderBy("doc_id", "pos")
+        val fwd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 7)
+        val wins = rows.select(col("doc_id"), col("pos"),
+          min(struct(col("h"), (-col("pos")).as("np"))).over(fwd).as("m"),
+          count(lit(1)).over(fwd).as("wlen"),
+          count(lit(1)).over(Window.partitionBy("doc_id")).as("dlen"))
+        wins
+          .where(col("wlen") === 8 || (col("pos") === 0 && col("dlen") < 8))
+          .select(col("doc_id"), (-col("m.np")).cast("bigint").as("pos"), col("m.h").as("fp"))
+          .distinct()
+          .orderBy("doc_id", "pos")
+      }
     },
 
     // End-to-end near-dup pipeline: MinHash/LSH candidate generation →

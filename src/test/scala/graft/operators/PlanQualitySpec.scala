@@ -84,14 +84,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
-  test("q_winnow: the winnowing window is doc_id-partitioned") {
+  test("q_winnow: native winnow is map-only — no window, no distinct, one sort exchange") {
     val p = plan("q_winnow")
-    assert(p.contains("Window"), p.take(3000))
-    // the Window node's own partition spec (windowspecdefinition's first
-    // argument) must be doc_id — matching any bracketed doc_id reference in
-    // the plan (e.g. a Project list) would make this gate vacuous
-    assert("windowspecdefinition\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
-      p.take(3000))
+    // r6 shape: winnow_pairs emits the per-doc distinct (pos, fp) pairs in
+    // one map-only pass, so the doc_id window exchange + sort AND the
+    // row-level distinct exchange are gone — the output ORDER BY is the
+    // only exchange left
+    assert(!p.contains("Window"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).count(_ => true) == 1, p.take(3000))
+    // exactly ONE winnow_pairs evaluation: InferFiltersFromGenerate would
+    // re-inline the whole tokenize→md5→winnow chain into a pushed-down
+    // size/isnotnull Filter for a non-outer explode (measured 9× slower);
+    // the outer generator keeps it out
+    assert("winnow_pairs".r.findAllIn(p).count(_ => true) == 1, p.take(3000))
   }
 
   test("q_simhash_pairs: signatures materialize behind an Aggregate barrier") {
